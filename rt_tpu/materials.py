@@ -1,0 +1,128 @@
+"""Material scattering as pure, branchless functions.
+
+The reference dispatches through a constexpr function-pointer table indexed
+by ``material_type`` (/root/reference/src/renderers/mg_ray_tracer.cpp:142-152,
+sm_ray_tracer.cpp:221-236).  On TPU, per-ray function pointers don't
+vectorize; instead every BRDF is evaluated for every ray and the result is
+blended with a one-hot select over the material *class* — a dense
+"mixture-of-BRDFs" router.
+
+Renderer personalities map the 8 material types onto 3 BRDF classes:
+
+* ``mg`` (mg_ray_tracer.cpp:142-152): metal → metal, everything else →
+  lambert (dielectrics included!).
+* ``sm`` (sm_ray_tracer.cpp:221-236): metal → metal; dielectric, air,
+  vacuum, water, ice → dielectric; lambert & diamond → lambert.
+
+BRDF semantics (bit-for-bit formula parity with the reference):
+
+* lambert (mg_ray_tracer.cpp:109-123): scatter = normalize(normal +
+  random_unit_vector()), degenerate → normal; attenuation = albedo.rgb *
+  reflectivity.
+* metal (mg_ray_tracer.cpp:125-140): scatter = reflect(normalize(dir),
+  normal) + roughness * random_unit_vector(); absorbed if scatter·normal
+  <= 0; attenuation = albedo.rgb * reflectivity.
+* dielectric (sm_ray_tracer.cpp:181-219): the material's ``reflectivity``
+  doubles as the IOR; Schlick-probability coin picks reflect vs refract;
+  attenuation = albedo.rgb * reflectivity (an IOR-scaled albedo — a
+  reference quirk kept for parity).  Note the reference reflects about the
+  *geometric* normal (not the outward one) and computes the inside-cosine
+  as ior * dot(d, n) — both reproduced.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ScatterResult", "scatter", "LAMBERT", "METAL", "DIELECTRIC", "personality_classes"]
+
+LAMBERT, METAL, DIELECTRIC = 0, 1, 2
+
+# material_type enum order: lambert, metal, dielectric, air, vacuum, water,
+# ice, diamond (common.hpp:105-115).
+_MG_CLASSES = (LAMBERT, METAL, LAMBERT, LAMBERT, LAMBERT, LAMBERT, LAMBERT, LAMBERT)
+_SM_CLASSES = (LAMBERT, METAL, DIELECTRIC, DIELECTRIC, DIELECTRIC, DIELECTRIC, DIELECTRIC, LAMBERT)
+
+
+def personality_classes(personality: str) -> jax.Array:
+    """Material-type → BRDF-class lookup table for a renderer personality."""
+    if personality == "mg":
+        return jnp.asarray(_MG_CLASSES, jnp.int32)
+    if personality == "sm":
+        return jnp.asarray(_SM_CLASSES, jnp.int32)
+    raise ValueError(f"unknown personality {personality!r}")
+
+
+class ScatterResult(NamedTuple):
+    direction: jax.Array    # (N, 3) unit scatter direction
+    attenuation: jax.Array  # (N, 3)
+    absorbed: jax.Array     # (N,) bool — ray dies with zero contribution
+
+
+def _reflect(v, n):
+    """reflect() (common.hpp:100-103): v - 2 (v·n) n."""
+    return v - 2.0 * jnp.sum(v * n, axis=-1, keepdims=True) * n
+
+
+def _normalize(v, eps=1e-30):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def scatter(
+    materials,
+    brdf_class: jax.Array,   # (N,) int32 BRDF class per ray
+    mat_idx: jax.Array,      # (N,) int32 material index per ray
+    ray_dir: jax.Array,      # (N, 3) unit incoming direction
+    normal: jax.Array,       # (N, 3) geometric normal at hit
+    unit_rand: jax.Array,    # (N, 3) random_unit_vector() samples
+    coin: jax.Array,         # (N,) U[0,1) for the dielectric reflect/refract coin
+) -> ScatterResult:
+    """Evaluate all BRDFs and blend by class.  Differentiable w.r.t. material
+    parameters and geometry; the class/coin decisions are detached."""
+    albedo = materials.albedo[mat_idx][:, :3]          # (N, 3)
+    roughness = materials.roughness[mat_idx][:, None]  # (N, 1)
+    refl = materials.reflectivity[mat_idx]             # (N,)
+
+    # Shared attenuation formula: albedo * reflectivity
+    # (mg_ray_tracer.cpp:115,131; sm_ray_tracer.cpp:194).
+    attenuation = albedo * refl[:, None]
+
+    # --- lambert -----------------------------------------------------------
+    lam = normal + unit_rand
+    lam_norm = jnp.linalg.norm(lam, axis=-1, keepdims=True)
+    lam = jnp.where(lam_norm < 1e-8, normal, lam / jnp.maximum(lam_norm, 1e-30))
+
+    # --- metal -------------------------------------------------------------
+    met = _reflect(ray_dir, normal) + roughness * unit_rand
+    metal_absorbed = jnp.sum(met * normal, axis=-1) <= 0.0
+    met = _normalize(met)
+
+    # --- dielectric --------------------------------------------------------
+    dn = jnp.sum(ray_dir * normal, axis=-1)            # (N,)
+    inside = dn > 0.0
+    outward_n = jnp.where(inside[:, None], -normal, normal)
+    eta = jnp.where(inside, refl, 1.0 / jnp.maximum(refl, 1e-12))
+    cosine = jnp.where(inside, refl * dn, -dn)         # |dir| == 1
+    cos_i = -jnp.sum(ray_dir * outward_n, axis=-1)
+    sin2_t = eta * eta * (1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    refracted = eta[:, None] * ray_dir + (eta * cos_i - cos_t)[:, None] * outward_n
+    # Schlick uses the *material* IOR regardless of side (sm:211).
+    r0 = ((1.0 - refl) / (1.0 + refl)) ** 2
+    reflect_prob = jnp.where(tir, 1.0, r0 + (1.0 - r0) * (1.0 - cosine) ** 5)
+    # Reference reflects about the geometric normal (sm:188), not outward_n.
+    die_reflected = _reflect(ray_dir, normal)
+    die = jnp.where((coin < reflect_prob)[:, None], die_reflected, refracted)
+    die = _normalize(die)
+
+    # --- blend by class ----------------------------------------------------
+    is_metal = brdf_class == METAL
+    is_diel = brdf_class == DIELECTRIC
+    direction = jnp.where(is_metal[:, None], met, lam)
+    direction = jnp.where(is_diel[:, None], die, direction)
+    absorbed = is_metal & metal_absorbed
+    return ScatterResult(direction=direction, attenuation=attenuation, absorbed=absorbed)

@@ -1,0 +1,15 @@
+"""Test config: force the CPU backend with 8 virtual devices.
+
+The real TPU is reached through a remote tunnel (slow per-process init and
+only one chip); tests exercise numerics + sharding on a virtual 8-device CPU
+mesh (SURVEY.md §4: multi-process CPU simulation is the "fake backend" for
+distributed tests).  The benchmark (bench.py) runs on the real chip.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
