@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""rt_tpu benchmark: forward+backward Mrays/s/chip on basic.toml 800x600@4spp.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+North-star metric (BASELINE.json): forward+backward Mrays/s per chip at
+4 spp on scenes/basic.toml at 800x600, with the gradient allclose check
+passing.  "Rays" counts camera rays (W*H*spp) per fwd+bwd step — the same
+definition for baseline and TPU so the ratio is fair.
+
+The baseline is the native C++ CPU tracer (native/rt_native.cpp) — the
+reference itself cannot be built in this sandbox (meson wraps need network),
+so the baseline is the same documented renderer semantics compiled with the
+reference's release flags and a thread pool, measured *forward only* (the
+reference has no backward at all; dividing our fwd+bwd rate by its fwd rate
+understates us).  The measurement is cached in .baseline_cpu.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BASELINE_CACHE = os.path.join(REPO, ".baseline_cpu.json")
+
+
+def measure_cpu_baseline(scene, size, spp, max_bounces) -> float:
+    """Mrays/s of the native CPU tracer (cached)."""
+    key = f"{size[0]}x{size[1]}x{spp}x{max_bounces}"
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            cache = json.load(open(BASELINE_CACHE))
+            if key in cache:
+                return cache[key]
+        except Exception:
+            cache = {}
+    else:
+        cache = {}
+    from rt_tpu import _native
+
+    if not _native.available():
+        os.system(f"make -C {os.path.join(REPO, 'native')} >/dev/null 2>&1")
+        _native._TRIED = False
+    if not _native.available():
+        return 0.0
+    # warm-up + timed
+    _native.render_mg_cpu(scene, size, spp=1, max_bounces=max_bounces)
+    _, secs = _native.render_mg_cpu(scene, size, spp=spp, max_bounces=max_bounces)
+    mrays = size[0] * size[1] * spp / secs / 1e6
+    cache[key] = mrays
+    json.dump(cache, open(BASELINE_CACHE, "w"))
+    return mrays
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny smoke run")
+    ap.add_argument("--size", default=None, help="WxH override")
+    ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    # Persistent compilation cache: the fwd+bwd program takes minutes to
+    # compile on the TPU backend the first time; cache it across runs.
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import rt_tpu
+    from rt_tpu import diff
+
+    if args.quick:
+        size, spp, max_bounces, iters = (160, 120), 2, 4, 1
+    else:
+        size, spp, max_bounces, iters = (800, 600), 4, 8, args.iters
+    if args.size:
+        w, h = args.size.split("x")
+        size = (int(w), int(h))
+    if args.spp:
+        spp = args.spp
+
+    scene = rt_tpu.load("/root/reference/scenes/basic.toml")
+    key = rt_tpu.rng.make_key(0)
+    params = diff.extract_params(scene)
+    target = jnp.zeros((size[1], size[0], 3), jnp.float32)
+
+    @jax.jit
+    def fwd_bwd(params, key):
+        return jax.value_and_grad(diff.image_loss)(
+            params, scene, target, size, key, spp=spp, max_bounces=max_bounces
+        )
+
+    # compile + warm-up
+    loss, grads = fwd_bwd(params, key)
+    jax.block_until_ready(grads)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        loss, grads = fwd_bwd(params, rt_tpu.rng.fold(key, i))
+    jax.block_until_ready(grads)
+    secs = (time.perf_counter() - t0) / iters
+    mrays = size[0] * size[1] * spp / secs / 1e6
+
+    # gradient sanity: finite + a smooth-path FD check on reflectivity
+    grad_ok = bool(all(np.all(np.isfinite(np.asarray(g))) for g in grads.values()))
+    if grad_ok and not args.quick:
+        eps = 1e-3
+        name = "materials.reflectivity"
+        p_hi = dict(params); p_hi[name] = params[name].at[0].set(params[name][0] + eps)
+        p_lo = dict(params); p_lo[name] = params[name].at[0].set(params[name][0] - eps)
+        small = (200, 150)
+        tgt_s = jnp.zeros((small[1], small[0], 3), jnp.float32)
+        base_args = dict(spp=2, max_bounces=4)
+        l_hi = float(diff.image_loss(p_hi, scene, tgt_s, small, key, **base_args))
+        l_lo = float(diff.image_loss(p_lo, scene, tgt_s, small, key, **base_args))
+        fd = (l_hi - l_lo) / (2 * eps)
+        _, g_small = diff.loss_and_grad(params, scene, tgt_s, small, key, **base_args)
+        an = float(g_small[name][0])
+        grad_ok = abs(an - fd) <= max(2e-2 * abs(fd), 1e-4)
+
+    baseline_mrays = measure_cpu_baseline(scene, size, spp, max_bounces)
+    vs_baseline = mrays / baseline_mrays if baseline_mrays > 0 else 0.0
+
+    print(json.dumps({
+        "metric": "fwd+bwd Mrays/s/chip (basic.toml %dx%d @ %dspp, depth %d, grad_ok=%s)"
+                  % (size[0], size[1], spp, max_bounces, grad_ok),
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,18 @@ def _load():
                     ctypes.POINTER(ctypes.c_uint32),
                     ctypes.c_longlong,
                 ]
+                f32p = ctypes.POINTER(ctypes.c_float)
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                lib.rtn_render_mg.restype = ctypes.c_double
+                lib.rtn_render_mg.argtypes = [
+                    f32p, f32p, ctypes.c_float, ctypes.c_float,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_uint64,
+                    f32p, f32p, i32p, ctypes.c_int,
+                    f32p, f32p, i32p, ctypes.c_int,
+                    i32p, f32p, f32p, f32p,
+                    f32p,
+                ]
                 _LIB = lib
                 break
             except OSError:
@@ -64,6 +76,47 @@ def write_png(path: str, rgba: np.ndarray, w: int, h: int) -> None:
     )
     if rc != 0:
         raise IOError(f"rtn_write_png failed with code {rc}")
+
+
+def render_mg_cpu(scene, size, *, spp: int, max_bounces: int, seed: int = 0):
+    """Render with the native multithreaded CPU baseline tracer
+    (mg personality).  Returns ((H, W, 3) float32 image, seconds)."""
+    import ctypes as ct
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available (run `make -C native`)")
+    w, h = size
+    f32 = np.float32
+    cam_pos = np.ascontiguousarray(np.asarray(scene.camera.position), f32)
+    cam_rot = np.ascontiguousarray(np.asarray(scene.camera.rotation), f32)
+    sc = scene.spheres.count
+    pc = scene.planes.count
+    sph_c = np.ascontiguousarray(np.asarray(scene.spheres.center)[:sc], f32)
+    sph_r = np.ascontiguousarray(np.asarray(scene.spheres.radius)[:sc], f32)
+    sph_m = np.ascontiguousarray(np.asarray(scene.spheres.material)[:sc], np.int32)
+    pl_n = np.ascontiguousarray(np.asarray(scene.planes.normal)[:pc], f32)
+    pl_d = np.ascontiguousarray(np.asarray(scene.planes.d)[:pc], f32)
+    pl_m = np.ascontiguousarray(np.asarray(scene.planes.material)[:pc], np.int32)
+    mt = np.ascontiguousarray(np.asarray(scene.materials.type), np.int32)
+    ma = np.ascontiguousarray(np.asarray(scene.materials.albedo), f32)
+    mr = np.ascontiguousarray(np.asarray(scene.materials.roughness), f32)
+    mf = np.ascontiguousarray(np.asarray(scene.materials.reflectivity), f32)
+    out = np.empty((h, w, 3), f32)
+
+    def p(a, t):
+        return a.ctypes.data_as(ct.POINTER(t))
+
+    secs = lib.rtn_render_mg(
+        p(cam_pos, ct.c_float), p(cam_rot, ct.c_float),
+        ct.c_float(scene.camera.vfov), ct.c_float(scene.camera.near),
+        w, h, spp, max_bounces, seed,
+        p(sph_c, ct.c_float), p(sph_r, ct.c_float), p(sph_m, ct.c_int32), sc,
+        p(pl_n, ct.c_float), p(pl_d, ct.c_float), p(pl_m, ct.c_int32), pc,
+        p(mt, ct.c_int32), p(ma, ct.c_float), p(mr, ct.c_float), p(mf, ct.c_float),
+        p(out, ct.c_float),
+    )
+    return out, float(secs)
 
 
 def pack_rgba8888(rgb: np.ndarray) -> np.ndarray:

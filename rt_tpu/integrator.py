@@ -39,7 +39,15 @@ from .colour import colour_from_hex
 from .materials import personality_classes, scatter
 from .ops.intersect import closest_hit
 
-__all__ = ["trace_batch", "render_image", "render_rasterizer", "render_null", "sky_colour"]
+__all__ = [
+    "trace_batch",
+    "render_image",
+    "render_pixels",
+    "render_rasterizer",
+    "render_null",
+    "sky_colour",
+    "default_ray_chunk",
+]
 
 _WHITE = (1.0, 1.0, 1.0)
 _SKY_BLUE = (0.5, 0.7, 1.0)
@@ -63,20 +71,27 @@ def trace_batch(
     max_bounces: Optional[int] = None,
     rng_mode: str = "reference",
     include_boxes: bool = False,
+    hit_fn=None,
 ) -> jax.Array:
     """Trace a flat batch of rays to radiance.  Returns (N, 3) f32.
 
     Equivalent to ``trace()`` (mg_ray_tracer.cpp:155-174) applied to every
     ray in the batch, restructured as a bounded scan with live masks.
+    ``hit_fn(o, d) -> HitRecord`` overrides the closest-hit (used by
+    rt_tpu.dist for primitive-sharded intersection).
     """
     if max_bounces is None:
         max_bounces = scene.max_bounces
     classes = personality_classes(personality)
     n = origins.shape[0]
+    if hit_fn is None:
+        def hit_fn(o, d):
+            return closest_hit(scene.spheres, scene.planes, scene.boxes, o, d,
+                               include_boxes=include_boxes)
 
     def body(state, b):
         o, d, thr, rad, live = state
-        rec = closest_hit(scene.spheres, scene.planes, scene.boxes, o, d, include_boxes=include_boxes)
+        rec = hit_fn(o, d)
         miss_now = live & ~rec.hit
         rad = rad + jnp.where(miss_now[:, None], thr * sky_colour(d), 0.0)
 
@@ -125,6 +140,9 @@ def render_image(
     rng_mode: str = "reference",
     ray_chunk: Optional[int] = None,
     gamma: bool = True,
+    hit_fn=None,
+    chunk_offset=0,
+    remat: bool = True,
 ) -> jax.Array:
     """Full path-traced frame.  Returns (H, W, 3) f32 (pre-quantization).
 
@@ -137,45 +155,88 @@ def render_image(
     w, h = size
     if spp is None:
         spp = scene.samples_per_pixel
-    if max_bounces is None:
-        max_bounces = scene.max_bounces
-
     n = w * h
     grid = _pixel_grid(size)  # (N, 2)
+    acc = render_pixels(
+        scene, size, grid, key,
+        spp=spp, personality=personality, max_bounces=max_bounces,
+        rng_mode=rng_mode, ray_chunk=ray_chunk, hit_fn=hit_fn,
+        chunk_offset=chunk_offset, remat=remat,
+    )
+    img = acc[:n]
+    if gamma:
+        img = jnp.sqrt(jnp.maximum(img, 0.0))
+    return img.reshape(h, w, 3)
 
+
+def default_ray_chunk(scene) -> int:
+    """Chunk size keeping the (rays x spheres) intermediate under ~256 MB."""
+    s = max(int(scene.spheres.center.shape[0]), 1)
+    return max(min(1 << (64 * 1024 * 1024 // (s * 4)).bit_length(), 65536), 1024)
+
+
+def render_pixels(
+    scene,
+    size: tuple[int, int],
+    pixels: jax.Array,
+    key: jax.Array,
+    *,
+    spp: int,
+    personality: str = "mg",
+    max_bounces: Optional[int] = None,
+    rng_mode: str = "reference",
+    ray_chunk: Optional[int] = None,
+    hit_fn=None,
+    chunk_offset=0,
+    remat: bool = True,
+) -> jax.Array:
+    """Mean radiance over spp samples for a flat (N, 2) pixel array.
+
+    Returns (N_padded, 3) pre-gamma radiance (N padded up to a chunk
+    multiple).  ``chunk_offset`` biases the per-chunk RNG fold so a sharded
+    caller (rt_tpu.dist) reproduces the exact unsharded stream: global chunk
+    id = chunk_offset + local index.
+
+    ``remat``: wrap each chunk trace in ``jax.checkpoint`` so the backward
+    pass recomputes the bounce loop instead of storing per-(sample, chunk,
+    bounce) residuals — without it the reverse pass needs O(spp * bounces *
+    rays * primitives) HBM and large frames OOM.  (SURVEY.md: trade FLOPs
+    for HBM.)
+    """
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    n = pixels.shape[0]
     if ray_chunk is None:
-        # Keep the (rays x spheres) intermediate under ~256 MB.
-        s = max(int(scene.spheres.center.shape[0]), 1)
-        ray_chunk = max(min(1 << (64 * 1024 * 1024 // (s * 4)).bit_length(), 65536), 1024)
+        ray_chunk = default_ray_chunk(scene)
+    ray_chunk = min(ray_chunk, 1 << (max(n - 1, 1)).bit_length())
     n_pad = -(-n // ray_chunk) * ray_chunk
-    grid = jnp.pad(grid, ((0, n_pad - n), (0, 0)))
-    chunks = grid.reshape(n_pad // ray_chunk, ray_chunk, 2)
+    chunks = jnp.pad(pixels, ((0, n_pad - n), (0, 0))).reshape(n_pad // ray_chunk, ray_chunk, 2)
 
     def sample_body(acc, s):
-        ks = _rng.fold(key, s)
-
-        def chunk_body(c_idx, chunk_pix):
-            kc = _rng.fold(ks, c_idx)
+        def chunk_body(s, c_idx, chunk_pix):
+            ks = _rng.fold(key, s)
+            kc = _rng.fold(ks, chunk_offset + c_idx)
             jitter = _rng.uniform(_rng.fold(kc, 0), (ray_chunk, 2))
             off = jnp.where(s == 0, jnp.float32(0.5), jitter)
             o, d = generate_rays(scene.camera, size, chunk_pix + off)
             return trace_batch(
                 scene, o, d, _rng.fold(kc, 3),
                 personality=personality, max_bounces=max_bounces, rng_mode=rng_mode,
+                hit_fn=hit_fn,
             )
 
+        if remat:
+            chunk_body = jax.checkpoint(chunk_body, prevent_cse=False)
+
         rad = jax.lax.map(
-            lambda args: chunk_body(args[0], args[1]),
+            lambda args: chunk_body(s, args[0], args[1]),
             (jnp.arange(chunks.shape[0]), chunks),
         )  # (C, chunk, 3)
         return acc + rad.reshape(n_pad, 3), None
 
     acc0 = jnp.zeros((n_pad, 3), jnp.float32)
     acc, _ = jax.lax.scan(sample_body, acc0, jnp.arange(spp))
-    img = acc[:n] / spp
-    if gamma:
-        img = jnp.sqrt(jnp.maximum(img, 0.0))
-    return img.reshape(h, w, 3)
+    return acc / spp
 
 
 def render_rasterizer(

@@ -62,13 +62,12 @@ class ScatterResult(NamedTuple):
     absorbed: jax.Array     # (N,) bool — ray dies with zero contribution
 
 
+from .ops.intersect import safe_normalize
+
+
 def _reflect(v, n):
     """reflect() (common.hpp:100-103): v - 2 (v·n) n."""
     return v - 2.0 * jnp.sum(v * n, axis=-1, keepdims=True) * n
-
-
-def _normalize(v, eps=1e-30):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
 def scatter(
@@ -81,24 +80,31 @@ def scatter(
     coin: jax.Array,         # (N,) U[0,1) for the dielectric reflect/refract coin
 ) -> ScatterResult:
     """Evaluate all BRDFs and blend by class.  Differentiable w.r.t. material
-    parameters and geometry; the class/coin decisions are detached."""
-    albedo = materials.albedo[mat_idx][:, :3]          # (N, 3)
-    roughness = materials.roughness[mat_idx][:, None]  # (N, 1)
-    refl = materials.reflectivity[mat_idx]             # (N,)
+    parameters and geometry; the class/coin decisions are detached.
+
+    Material parameters are fetched with a one-hot contraction over the
+    (small, padded) material table: on TPU this runs on the MXU and its
+    transpose — the material-parameter gradient — is another contraction
+    instead of a scatter-add."""
+    m = materials.albedo.shape[0]
+    mat_onehot = jax.nn.one_hot(mat_idx, m, dtype=jnp.float32)  # (N, M)
+    albedo = (mat_onehot @ materials.albedo)[:, :3]             # (N, 3)
+    roughness = (mat_onehot @ materials.roughness)[:, None]     # (N, 1)
+    refl = mat_onehot @ materials.reflectivity                  # (N,)
 
     # Shared attenuation formula: albedo * reflectivity
     # (mg_ray_tracer.cpp:115,131; sm_ray_tracer.cpp:194).
     attenuation = albedo * refl[:, None]
 
     # --- lambert -----------------------------------------------------------
-    lam = normal + unit_rand
-    lam_norm = jnp.linalg.norm(lam, axis=-1, keepdims=True)
-    lam = jnp.where(lam_norm < 1e-8, normal, lam / jnp.maximum(lam_norm, 1e-30))
+    lam_raw = normal + unit_rand
+    lam_n2 = jnp.sum(lam_raw * lam_raw, axis=-1, keepdims=True)
+    lam = jnp.where(lam_n2 < 1e-16, normal, safe_normalize(lam_raw))
 
     # --- metal -------------------------------------------------------------
     met = _reflect(ray_dir, normal) + roughness * unit_rand
     metal_absorbed = jnp.sum(met * normal, axis=-1) <= 0.0
-    met = _normalize(met)
+    met = safe_normalize(met)
 
     # --- dielectric --------------------------------------------------------
     dn = jnp.sum(ray_dir * normal, axis=-1)            # (N,)
@@ -109,7 +115,9 @@ def scatter(
     cos_i = -jnp.sum(ray_dir * outward_n, axis=-1)
     sin2_t = eta * eta * (1.0 - cos_i * cos_i)
     tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # guarded sqrt (grad-safe at the TIR boundary)
+    cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin2_t, 1e-12)))
+    cos_t = jnp.where(tir, 0.0, cos_t)
     refracted = eta[:, None] * ray_dir + (eta * cos_i - cos_t)[:, None] * outward_n
     # Schlick uses the *material* IOR regardless of side (sm:211).
     r0 = ((1.0 - refl) / (1.0 + refl)) ** 2
@@ -117,7 +125,7 @@ def scatter(
     # Reference reflects about the geometric normal (sm:188), not outward_n.
     die_reflected = _reflect(ray_dir, normal)
     die = jnp.where((coin < reflect_prob)[:, None], die_reflected, refracted)
-    die = _normalize(die)
+    die = safe_normalize(die, fallback=normal)
 
     # --- blend by class ----------------------------------------------------
     is_metal = brdf_class == METAL

@@ -39,6 +39,17 @@ _BIG = jnp.float32(3.0e38)
 __all__ = ["HitRecord", "closest_hit", "hit_spheres", "hit_planes", "hit_boxes", "MIN_HIT_DIST"]
 
 
+def safe_normalize(v, *, eps: float = 1e-20, fallback=None):
+    """Normalize with NaN-free gradients: the norm is computed on a guarded
+    squared length so grad(sqrt) never sees 0, and exactly-zero vectors map
+    to ``fallback`` (default: zero)."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    ok = n2 > eps
+    inv = jax.lax.rsqrt(jnp.where(ok, n2, 1.0))
+    out = jnp.where(ok, v * inv, 0.0 if fallback is None else fallback)
+    return out
+
+
 class HitRecord(NamedTuple):
     """Closest-hit result for a batch of rays."""
 
@@ -54,8 +65,23 @@ def _count_mask(n_padded: int, count: int) -> jax.Array:
     return jnp.arange(n_padded) < count
 
 
-def hit_spheres(origins, dirs, centers, radii, count, *, min_dist=MIN_HIT_DIST):
-    """Per-ray nearest sphere.  Returns (t, index) with t=_BIG on miss.
+def _select_min(t: jax.Array):
+    """(t_best, idx, onehot) for a (N, S) candidate matrix.
+
+    The winner is extracted with a one-hot reduction instead of a gather:
+    on TPU the transpose of a gather is a scatter-add (slow to compile and
+    run inside nested scans), while the transpose of the one-hot contraction
+    is another contraction that lands on the MXU.
+    """
+    idx = jnp.argmin(t, axis=-1)
+    onehot = jax.nn.one_hot(idx, t.shape[-1], dtype=t.dtype)
+    # 0 * _BIG == 0, so masked lanes don't leak
+    t_best = jnp.sum(jnp.where(onehot > 0, t, 0.0), axis=-1)
+    return t_best, idx, onehot
+
+
+def sphere_t_matrix(origins, dirs, centers, radii, count, *, min_dist=MIN_HIT_DIST):
+    """(N, S) per-pair hit distances, _BIG where no valid hit.
 
     Quadratic with unit direction: oc = o - c, b = oc·d, c0 = |oc|^2 - r^2,
     disc = b^2 - c0, roots -b ∓ sqrt(disc).
@@ -64,27 +90,40 @@ def hit_spheres(origins, dirs, centers, radii, count, *, min_dist=MIN_HIT_DIST):
     b = jnp.sum(oc * dirs[:, None, :], axis=-1)             # (N, S)
     c0 = jnp.sum(oc * oc, axis=-1) - radii[None, :] ** 2    # (N, S)
     disc = b * b - c0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # sqrt guarded on both branches: grad(sqrt) at 0 is inf and would leak
+    # NaN through the miss lanes' where().
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    sq = jnp.where(disc > 0.0, sq, 0.0)
     t0 = -b - sq
     t1 = -b + sq
     t = jnp.where(t0 >= min_dist, t0, t1)
     valid = (disc >= 0.0) & (t >= min_dist) & _count_mask(centers.shape[0], count)[None, :]
-    t = jnp.where(valid, t, _BIG)
-    idx = jnp.argmin(t, axis=-1)
-    return jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0], idx
+    return jnp.where(valid, t, _BIG)
 
 
-def hit_planes(origins, dirs, normals, ds, count, *, min_dist=MIN_HIT_DIST):
-    """Per-ray nearest plane (double-sided).  n·x + d = 0 →
+def hit_spheres(origins, dirs, centers, radii, count, *, min_dist=MIN_HIT_DIST):
+    """Per-ray nearest sphere.  Returns (t, index) with t=_BIG on miss."""
+    t = sphere_t_matrix(origins, dirs, centers, radii, count, min_dist=min_dist)
+    t_best, idx, _ = _select_min(t)
+    return t_best, idx
+
+
+def plane_t_matrix(origins, dirs, normals, ds, count, *, min_dist=MIN_HIT_DIST):
+    """(N, P) per-pair plane hit distances (double-sided).  n·x + d = 0 →
     t = -(n·o + d) / (n·dir)."""
     ndotd = dirs @ normals.T                                 # (N, P)
     ndoto = origins @ normals.T + ds[None, :]                # (N, P)
     safe = jnp.where(jnp.abs(ndotd) > 1e-12, ndotd, 1.0)
     t = -ndoto / safe
     valid = (jnp.abs(ndotd) > 1e-12) & (t >= min_dist) & _count_mask(normals.shape[0], count)[None, :]
-    t = jnp.where(valid, t, _BIG)
-    idx = jnp.argmin(t, axis=-1)
-    return jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0], idx
+    return jnp.where(valid, t, _BIG)
+
+
+def hit_planes(origins, dirs, normals, ds, count, *, min_dist=MIN_HIT_DIST):
+    """Per-ray nearest plane.  Returns (t, index) with t=_BIG on miss."""
+    t = plane_t_matrix(origins, dirs, normals, ds, count, min_dist=min_dist)
+    t_best, idx, _ = _select_min(t)
+    return t_best, idx
 
 
 def hit_boxes(origins, dirs, centers, extents, count, *, min_dist=MIN_HIT_DIST):
@@ -101,8 +140,8 @@ def hit_boxes(origins, dirs, centers, extents, count, *, min_dist=MIN_HIT_DIST):
     t = jnp.where(tmin >= min_dist, tmin, tmax)
     valid = (tmax >= tmin) & (t >= min_dist) & _count_mask(centers.shape[0], count)[None, :]
     t = jnp.where(valid, t, _BIG)
-    idx = jnp.argmin(t, axis=-1)
-    return jnp.take_along_axis(t, idx[:, None], axis=-1)[:, 0], idx
+    t_best, idx, _ = _select_min(t)
+    return t_best, idx
 
 
 def _box_normal(origins, dirs, t, centers, extents, idx):
@@ -119,6 +158,26 @@ def _box_normal(origins, dirs, t, centers, extents, idx):
     return n
 
 
+def sphere_stage(spheres, origins, dirs, *, min_dist: float = MIN_HIT_DIST):
+    """Nearest-sphere stage: (t, normal, material) per ray.
+
+    Split out so a primitive-sharded caller (rt_tpu.dist) can run it on a
+    table shard and all-gather the per-shard winners before the cross-class
+    select.  The winner's centre is extracted with a one-hot contraction
+    (MXU-friendly; its transpose is the sphere-centre gradient without any
+    scatter).  The material id is an integer gather (no tangents)."""
+    t = sphere_t_matrix(origins, dirs, spheres.center, spheres.radius, spheres.count,
+                        min_dist=min_dist)
+    ts, is_, onehot = _select_min(t)
+    # clip miss-lane t (=_BIG) before the multiply: inf/overflow upstream of
+    # a where() still poisons gradients.
+    t_safe = jnp.minimum(ts, 1e30)
+    hit_p = origins + t_safe[:, None] * dirs
+    center_w = onehot @ spheres.center                       # (N, 3)
+    n = safe_normalize(hit_p - center_w)
+    return ts, n, spheres.material[is_]
+
+
 def closest_hit(
     spheres,
     planes,
@@ -129,6 +188,7 @@ def closest_hit(
     min_dist: float = MIN_HIT_DIST,
     include_boxes: bool = False,
     box_normals_up: bool = False,
+    sphere_result=None,
 ) -> HitRecord:
     """Closest hit over the whole scene for a flat ray batch.
 
@@ -142,8 +202,12 @@ def closest_hit(
     """
     n = origins.shape[0]
 
-    ts, is_ = hit_spheres(origins, dirs, spheres.center, spheres.radius, spheres.count, min_dist=min_dist)
-    tp, ip = hit_planes(origins, dirs, planes.normal, planes.d, planes.count, min_dist=min_dist)
+    if sphere_result is None:
+        ts, sphere_n, sphere_m = sphere_stage(spheres, origins, dirs, min_dist=min_dist)
+    else:
+        ts, sphere_n, sphere_m = sphere_result
+    tpm = plane_t_matrix(origins, dirs, planes.normal, planes.d, planes.count, min_dist=min_dist)
+    tp, ip, p_onehot = _select_min(tpm)
 
     # select(a=spheres, b=planes): a wins ties (mg_ray_tracer.cpp:95-102).
     sphere_wins = ts <= tp
@@ -160,11 +224,9 @@ def closest_hit(
     t = jnp.where(box_wins, tb, t_sp)
     hit = t < _BIG
 
-    # Normals & material ids by winner class.
-    hit_p = origins + t[:, None] * dirs
-    sphere_n = hit_p - spheres.center[is_]
-    sphere_n = sphere_n / jnp.maximum(jnp.linalg.norm(sphere_n, axis=-1, keepdims=True), 1e-30)
-    plane_n = planes.normal[ip]
+    # Normals & material ids by winner class (one-hot contraction for the
+    # float normal, integer gather for the material id).
+    plane_n = p_onehot @ planes.normal
     if include_boxes and boxes.count > 0:
         if box_normals_up:
             box_n = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], jnp.float32), (n, 3))
@@ -176,7 +238,7 @@ def closest_hit(
     normal = jnp.where(sphere_wins[:, None] & ~box_wins[:, None], sphere_n, plane_n)
     normal = jnp.where(box_wins[:, None], box_n, normal)
 
-    mat = jnp.where(sphere_wins, spheres.material[is_], planes.material[ip])
+    mat = jnp.where(sphere_wins, sphere_m, planes.material[ip])
     if include_boxes and boxes.count > 0:
         mat = jnp.where(box_wins, boxes.material[ib], mat)
 
