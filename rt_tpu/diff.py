@@ -71,19 +71,22 @@ def render_for_loss(
     max_bounces: int = 4,
     personality: str = "mg",
     render_fn=None,
+    grad_mode: str = "replay",
     **opts,
 ) -> jax.Array:
     """Render with substituted params; pre-gamma radiance (H, W, 3).
 
     ``render_fn(scene, size, key, **opts)`` overrides the renderer (e.g.
-    rt_tpu.dist.render_image_sharded for a sharded loss)."""
+    rt_tpu.dist.render_image_sharded for a sharded loss).  ``grad_mode``
+    defaults to "replay" (rt_tpu.replay): identical value and
+    detached-sampling gradient, far cheaper backward pass."""
     scene = apply_params(scene, params)
     if render_fn is None:
         render_fn = render_image
     return render_fn(
         scene, size, key,
         spp=spp, max_bounces=max_bounces, personality=personality,
-        gamma=False, **opts,
+        gamma=False, grad_mode=grad_mode, **opts,
     )
 
 

@@ -97,16 +97,21 @@ def sharded_hit_fn(scene, *, include_boxes: bool = False):
     def hit_fn(o, d):
         import dataclasses
 
-        local = dataclasses.replace(scene.spheres, count=int(scene.spheres.center.shape[0]))
-        ts, ns, ms = sphere_stage(local, o, d)
+        local_n = int(scene.spheres.center.shape[0])
+        local = dataclasses.replace(scene.spheres, count=local_n)
+        ts, ns, ms, is_, rl = sphere_stage(local, o, d)
+        shard_off = jax.lax.axis_index("prims") * local_n
         # (P, N) gathered winners; axis index orders shards so argmin's
         # first-occurrence rule preserves global index order.
         ts_all = jax.lax.all_gather(ts, "prims")
         ns_all = jax.lax.all_gather(ns, "prims")
         ms_all = jax.lax.all_gather(ms, "prims")
+        is_all = jax.lax.all_gather(is_ + shard_off, "prims")
+        rl_all = jax.lax.all_gather(rl, "prims")
         pwin = jnp.argmin(ts_all, axis=0)
         ar = jnp.arange(ts.shape[0])
-        sphere_result = (ts_all[pwin, ar], ns_all[pwin, ar], ms_all[pwin, ar])
+        sphere_result = (ts_all[pwin, ar], ns_all[pwin, ar], ms_all[pwin, ar],
+                         is_all[pwin, ar], rl_all[pwin, ar])
         return closest_hit(
             scene.spheres, scene.planes, scene.boxes, o, d,
             include_boxes=include_boxes, sphere_result=sphere_result,
@@ -127,6 +132,7 @@ def render_image_sharded(
     rng_mode: str = "reference",
     ray_chunk: Optional[int] = None,
     gamma: bool = True,
+    grad_mode: str = "autodiff",
 ) -> jax.Array:
     """Path-traced frame sharded over the mesh.  Returns a (H, W, 3) f32
     jax.Array sharded over rows on 'rays' (materialize with np.asarray — the
@@ -161,6 +167,13 @@ def render_image_sharded(
 
     scene_spec = dataclasses.replace(scene_spec, spheres=spheres_spec)
 
+    if grad_mode == "replay" and n_prims_axis > 1:
+        # replay needs the full sphere table on-device; with a sharded
+        # table the recorded winner may live on another shard.
+        grad_mode_eff = "autodiff"
+    else:
+        grad_mode_eff = grad_mode
+
     def shard_fn(local_scene, local_pixels, k):
         shard_id = jax.lax.axis_index("rays")
         hit_fn = sharded_hit_fn(local_scene) if n_prims_axis > 1 else None
@@ -169,6 +182,7 @@ def render_image_sharded(
             spp=spp, personality=personality, max_bounces=max_bounces,
             rng_mode=rng_mode, ray_chunk=ray_chunk, hit_fn=hit_fn,
             chunk_offset=shard_id * chunks_per_shard,
+            grad_mode=grad_mode_eff if hit_fn is None else "autodiff",
         )
         return rad
 

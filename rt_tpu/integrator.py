@@ -143,6 +143,7 @@ def render_image(
     hit_fn=None,
     chunk_offset=0,
     remat: bool = True,
+    grad_mode: str = "autodiff",
 ) -> jax.Array:
     """Full path-traced frame.  Returns (H, W, 3) f32 (pre-quantization).
 
@@ -161,7 +162,7 @@ def render_image(
         scene, size, grid, key,
         spp=spp, personality=personality, max_bounces=max_bounces,
         rng_mode=rng_mode, ray_chunk=ray_chunk, hit_fn=hit_fn,
-        chunk_offset=chunk_offset, remat=remat,
+        chunk_offset=chunk_offset, remat=remat, grad_mode=grad_mode,
     )
     img = acc[:n]
     if gamma:
@@ -189,6 +190,7 @@ def render_pixels(
     hit_fn=None,
     chunk_offset=0,
     remat: bool = True,
+    grad_mode: str = "autodiff",
 ) -> jax.Array:
     """Mean radiance over spp samples for a flat (N, 2) pixel array.
 
@@ -202,6 +204,11 @@ def render_pixels(
     bounce) residuals — without it the reverse pass needs O(spp * bounces *
     rays * primitives) HBM and large frames OOM.  (SURVEY.md: trade FLOPs
     for HBM.)
+
+    ``grad_mode``: "autodiff" differentiates the full trace; "replay"
+    (rt_tpu.replay) pins the discrete path structure and differentiates a
+    cheap replay — same value, same detached-sampling gradient, much
+    cheaper backward.  "replay" requires the default hit_fn.
     """
     if max_bounces is None:
         max_bounces = scene.max_bounces
@@ -212,6 +219,15 @@ def render_pixels(
     n_pad = -(-n // ray_chunk) * ray_chunk
     chunks = jnp.pad(pixels, ((0, n_pad - n), (0, 0))).reshape(n_pad // ray_chunk, ray_chunk, 2)
 
+    if grad_mode == "replay":
+        if hit_fn is not None:
+            raise ValueError("grad_mode='replay' requires the default hit_fn")
+        from .replay import trace_batch_replay as _trace
+    elif grad_mode == "autodiff":
+        _trace = trace_batch
+    else:
+        raise ValueError(f"unknown grad_mode {grad_mode!r}")
+
     def sample_body(acc, s):
         def chunk_body(s, c_idx, chunk_pix):
             ks = _rng.fold(key, s)
@@ -219,7 +235,7 @@ def render_pixels(
             jitter = _rng.uniform(_rng.fold(kc, 0), (ray_chunk, 2))
             off = jnp.where(s == 0, jnp.float32(0.5), jitter)
             o, d = generate_rays(scene.camera, size, chunk_pix + off)
-            return trace_batch(
+            return _trace(
                 scene, o, d, _rng.fold(kc, 3),
                 personality=personality, max_bounces=max_bounces, rng_mode=rng_mode,
                 hit_fn=hit_fn,

@@ -60,6 +60,11 @@ class ScatterResult(NamedTuple):
     direction: jax.Array    # (N, 3) unit scatter direction
     attenuation: jax.Array  # (N, 3)
     absorbed: jax.Array     # (N,) bool — ray dies with zero contribution
+    # discrete decision bits, recorded for replay-mode gradients
+    # (rt_tpu.replay): fixing these makes the scatter a smooth function of
+    # the material/geometry parameters
+    reflect_bit: jax.Array  # (N,) bool — dielectric took the reflect branch
+    lam_deg: jax.Array      # (N,) bool — lambert degenerate (normal + ruv ~ 0)
 
 
 from .ops.intersect import safe_normalize
@@ -78,6 +83,7 @@ def scatter(
     normal: jax.Array,       # (N, 3) geometric normal at hit
     unit_rand: jax.Array,    # (N, 3) random_unit_vector() samples
     coin: jax.Array,         # (N,) U[0,1) for the dielectric reflect/refract coin
+    decisions=None,          # optional (reflect_bit, lam_deg) overrides (replay mode)
 ) -> ScatterResult:
     """Evaluate all BRDFs and blend by class.  Differentiable w.r.t. material
     parameters and geometry; the class/coin decisions are detached.
@@ -99,7 +105,11 @@ def scatter(
     # --- lambert -----------------------------------------------------------
     lam_raw = normal + unit_rand
     lam_n2 = jnp.sum(lam_raw * lam_raw, axis=-1, keepdims=True)
-    lam = jnp.where(lam_n2 < 1e-16, normal, safe_normalize(lam_raw))
+    if decisions is None:
+        lam_deg = (lam_n2 < 1e-16)[:, 0]
+    else:
+        lam_deg = decisions[1]
+    lam = jnp.where(lam_deg[:, None], normal, safe_normalize(lam_raw))
 
     # --- metal -------------------------------------------------------------
     met = _reflect(ray_dir, normal) + roughness * unit_rand
@@ -122,9 +132,13 @@ def scatter(
     # Schlick uses the *material* IOR regardless of side (sm:211).
     r0 = ((1.0 - refl) / (1.0 + refl)) ** 2
     reflect_prob = jnp.where(tir, 1.0, r0 + (1.0 - r0) * (1.0 - cosine) ** 5)
+    if decisions is None:
+        reflect_bit = coin < reflect_prob
+    else:
+        reflect_bit = decisions[0]
     # Reference reflects about the geometric normal (sm:188), not outward_n.
     die_reflected = _reflect(ray_dir, normal)
-    die = jnp.where((coin < reflect_prob)[:, None], die_reflected, refracted)
+    die = jnp.where(reflect_bit[:, None], die_reflected, refracted)
     die = safe_normalize(die, fallback=normal)
 
     # --- blend by class ----------------------------------------------------
@@ -133,4 +147,5 @@ def scatter(
     direction = jnp.where(is_metal[:, None], met, lam)
     direction = jnp.where(is_diel[:, None], die, direction)
     absorbed = is_metal & metal_absorbed
-    return ScatterResult(direction=direction, attenuation=attenuation, absorbed=absorbed)
+    return ScatterResult(direction=direction, attenuation=attenuation, absorbed=absorbed,
+                         reflect_bit=reflect_bit, lam_deg=lam_deg)

@@ -57,6 +57,9 @@ class HitRecord(NamedTuple):
     normal: jax.Array    # (N, 3) f32
     material: jax.Array  # (N,) int32
     hit: jax.Array       # (N,) bool
+    kind: jax.Array      # (N,) int32: 0 miss, 1 sphere, 2 plane, 3 box
+    idx: jax.Array       # (N,) int32 winner index within its class
+    root_lo: jax.Array   # (N,) bool: sphere hit used the near root
 
 
 def _count_mask(n_padded: int, count: int) -> jax.Array:
@@ -96,14 +99,15 @@ def sphere_t_matrix(origins, dirs, centers, radii, count, *, min_dist=MIN_HIT_DI
     sq = jnp.where(disc > 0.0, sq, 0.0)
     t0 = -b - sq
     t1 = -b + sq
-    t = jnp.where(t0 >= min_dist, t0, t1)
+    root_lo = t0 >= min_dist
+    t = jnp.where(root_lo, t0, t1)
     valid = (disc >= 0.0) & (t >= min_dist) & _count_mask(centers.shape[0], count)[None, :]
-    return jnp.where(valid, t, _BIG)
+    return jnp.where(valid, t, _BIG), root_lo
 
 
 def hit_spheres(origins, dirs, centers, radii, count, *, min_dist=MIN_HIT_DIST):
     """Per-ray nearest sphere.  Returns (t, index) with t=_BIG on miss."""
-    t = sphere_t_matrix(origins, dirs, centers, radii, count, min_dist=min_dist)
+    t, _ = sphere_t_matrix(origins, dirs, centers, radii, count, min_dist=min_dist)
     t_best, idx, _ = _select_min(t)
     return t_best, idx
 
@@ -165,9 +169,11 @@ def sphere_stage(spheres, origins, dirs, *, min_dist: float = MIN_HIT_DIST):
     table shard and all-gather the per-shard winners before the cross-class
     select.  The winner's centre is extracted with a one-hot contraction
     (MXU-friendly; its transpose is the sphere-centre gradient without any
-    scatter).  The material id is an integer gather (no tangents)."""
-    t = sphere_t_matrix(origins, dirs, spheres.center, spheres.radius, spheres.count,
-                        min_dist=min_dist)
+    scatter).  The material id is an integer gather (no tangents).
+
+    Returns (t, normal, material, idx, root_lo)."""
+    t, root_lo_m = sphere_t_matrix(origins, dirs, spheres.center, spheres.radius,
+                                   spheres.count, min_dist=min_dist)
     ts, is_, onehot = _select_min(t)
     # clip miss-lane t (=_BIG) before the multiply: inf/overflow upstream of
     # a where() still poisons gradients.
@@ -175,7 +181,8 @@ def sphere_stage(spheres, origins, dirs, *, min_dist: float = MIN_HIT_DIST):
     hit_p = origins + t_safe[:, None] * dirs
     center_w = onehot @ spheres.center                       # (N, 3)
     n = safe_normalize(hit_p - center_w)
-    return ts, n, spheres.material[is_]
+    root_lo = jnp.sum(jnp.where(onehot > 0, root_lo_m, False), axis=-1).astype(bool)
+    return ts, n, spheres.material[is_], is_.astype(jnp.int32), root_lo
 
 
 def closest_hit(
@@ -203,9 +210,9 @@ def closest_hit(
     n = origins.shape[0]
 
     if sphere_result is None:
-        ts, sphere_n, sphere_m = sphere_stage(spheres, origins, dirs, min_dist=min_dist)
+        ts, sphere_n, sphere_m, sphere_i, root_lo = sphere_stage(spheres, origins, dirs, min_dist=min_dist)
     else:
-        ts, sphere_n, sphere_m = sphere_result
+        ts, sphere_n, sphere_m, sphere_i, root_lo = sphere_result
     tpm = plane_t_matrix(origins, dirs, planes.normal, planes.d, planes.count, min_dist=min_dist)
     tp, ip, p_onehot = _select_min(tpm)
 
@@ -242,4 +249,14 @@ def closest_hit(
     if include_boxes and boxes.count > 0:
         mat = jnp.where(box_wins, boxes.material[ib], mat)
 
-    return HitRecord(t=t, normal=normal, material=mat.astype(jnp.int32), hit=hit)
+    kind = jnp.where(sphere_wins & (ts < _BIG), 1, jnp.where(tp < _BIG, 2, 0))
+    kind = jnp.where(box_wins, 3, kind)
+    kind = jnp.where(hit, kind, 0)
+    idx = jnp.where(sphere_wins, sphere_i, ip.astype(jnp.int32))
+    if include_boxes and boxes.count > 0:
+        idx = jnp.where(box_wins, ib.astype(jnp.int32), idx)
+
+    return HitRecord(
+        t=t, normal=normal, material=mat.astype(jnp.int32), hit=hit,
+        kind=kind.astype(jnp.int32), idx=idx, root_lo=root_lo & sphere_wins,
+    )

@@ -1,0 +1,224 @@
+"""Replay-mode gradients: record the discrete path structure, differentiate
+a cheap replay.
+
+Differentiating the full wavefront trace makes XLA transpose the entire
+(rays x primitives) closest-hit chain per bounce — ~20x the forward cost.
+But under the detached-sampling convention (rt_tpu.diff) every discrete
+decision is constant in the backward pass anyway.  So:
+
+1. ``trace_batch_recorded`` runs the normal trace (stop-gradient) and
+   additionally records, per bounce and ray: the winning primitive (kind +
+   index + sphere-root bit), the live/miss/absorbed masks, and the
+   scatter decision bits (dielectric coin, lambert degeneracy).
+2. ``replay_radiance`` recomputes the radiance as a *smooth* function of
+   the scene parameters with the discrete structure pinned: per bounce it
+   solves the hit for the one recorded primitive (O(1) per ray instead of
+   O(S)), fetches parameters with one-hot contractions, and applies the
+   recorded masks.  Autodiff of this function gives exactly the
+   detached-sampling gradient at a fraction of the cost.
+
+``trace_batch_replay`` composes the two; its value equals ``trace_batch``
+bit-for-bit (tested), and its gradient matches the direct autodiff gradient.
+
+This is also the shape a hand-written Pallas backward wants: the records
+are the compact residuals a megakernel forward would emit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import rng as _rng
+from .materials import personality_classes, scatter
+from .ops.intersect import MIN_HIT_DIST, closest_hit, safe_normalize
+
+__all__ = ["PathRecords", "trace_batch_recorded", "replay_radiance", "trace_batch_replay"]
+
+_BIG = jnp.float32(3.0e38)
+
+
+class PathRecords(NamedTuple):
+    """Stacked (max_bounces, N) discrete path structure."""
+
+    kind: jax.Array      # int32: 0 miss, 1 sphere, 2 plane
+    idx: jax.Array       # int32 winner index within class
+    root_lo: jax.Array   # bool: sphere near-root used
+    live_in: jax.Array   # bool: ray alive at bounce entry
+    miss: jax.Array      # bool: alive and missed → sky contribution
+    alive_out: jax.Array # bool: alive after the bounce (hit, not absorbed)
+    reflect_bit: jax.Array  # bool: dielectric reflect branch
+    lam_deg: jax.Array      # bool: lambert degenerate fallback
+
+
+def trace_batch_recorded(
+    scene,
+    origins: jax.Array,
+    dirs: jax.Array,
+    key: jax.Array,
+    *,
+    personality: str = "mg",
+    max_bounces: Optional[int] = None,
+    rng_mode: str = "reference",
+):
+    """Forward trace emitting (radiance, PathRecords).  Mirrors
+    rt_tpu.integrator.trace_batch exactly (same RNG folds, same update
+    order) — kept in sync by test_replay.py's bitwise checks."""
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    classes = personality_classes(personality)
+    n = origins.shape[0]
+
+    def body(state, b):
+        o, d, thr, rad, live = state
+        rec = closest_hit(scene.spheres, scene.planes, scene.boxes, o, d)
+        from .integrator import sky_colour
+
+        miss_now = live & ~rec.hit
+        rad = rad + jnp.where(miss_now[:, None], thr * sky_colour(d), 0.0)
+
+        live_h = live & rec.hit
+        kb = _rng.fold(key, b)
+        ur = _rng.unit_vector(_rng.fold(kb, 1), (n,), mode=rng_mode)
+        coin = _rng.uniform(_rng.fold(kb, 2), (n,))
+        brdf_class = classes[scene.materials.type[rec.material]]
+        sc = scatter(scene.materials, brdf_class, rec.material, d, rec.normal, ur, coin)
+
+        t_safe = jnp.where(rec.hit, rec.t, 0.0)
+        new_o = o + t_safe[:, None] * d
+        alive = live_h & ~sc.absorbed
+        thr = jnp.where(alive[:, None], thr * sc.attenuation, thr)
+        o = jnp.where(live_h[:, None], new_o, o)
+        d = jnp.where(live_h[:, None], sc.direction, d)
+        recs = PathRecords(
+            kind=rec.kind, idx=rec.idx, root_lo=rec.root_lo,
+            live_in=live, miss=miss_now, alive_out=alive,
+            reflect_bit=sc.reflect_bit, lam_deg=sc.lam_deg,
+        )
+        return (o, d, thr, rad, alive), recs
+
+    init = (
+        origins,
+        dirs,
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n,), bool),
+    )
+    (_, _, _, radiance, _), records = jax.lax.scan(body, init, jnp.arange(max_bounces))
+    return radiance, records
+
+
+def replay_radiance(
+    scene,
+    origins: jax.Array,
+    dirs: jax.Array,
+    key: jax.Array,
+    records: PathRecords,
+    *,
+    personality: str = "mg",
+    max_bounces: Optional[int] = None,
+    rng_mode: str = "reference",
+) -> jax.Array:
+    """Differentiable radiance with the discrete path structure pinned to
+    ``records``.  O(1) work per ray per bounce (plus one-hot contractions
+    for parameter fetches)."""
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    classes = personality_classes(personality)
+    n = origins.shape[0]
+    S = scene.spheres.center.shape[0]
+    P = scene.planes.normal.shape[0]
+
+    def body(state, inp):
+        o, d, thr, rad = state
+        b, r = inp
+        is_sphere = r.kind == 1
+        is_plane = r.kind == 2
+        hit = r.kind > 0
+
+        # --- differentiable hit for the recorded primitive ---------------
+        s_onehot = jax.nn.one_hot(jnp.where(is_sphere, r.idx, 0), S, dtype=jnp.float32)
+        s_onehot = s_onehot * is_sphere[:, None]
+        c = s_onehot @ scene.spheres.center                 # (N, 3)
+        radius = s_onehot @ scene.spheres.radius            # (N,)
+        oc = o - c
+        bq = jnp.sum(oc * d, axis=-1)
+        c0 = jnp.sum(oc * oc, axis=-1) - radius * radius
+        disc = bq * bq - c0
+        sq = jnp.sqrt(jnp.where(is_sphere, jnp.maximum(disc, 1e-12), 1.0))
+        sq = jnp.where(is_sphere, sq, 0.0)
+        t_s = jnp.where(r.root_lo, -bq - sq, -bq + sq)
+
+        p_onehot = jax.nn.one_hot(jnp.where(is_plane, r.idx, 0), P, dtype=jnp.float32)
+        p_onehot = p_onehot * is_plane[:, None]
+        pn = p_onehot @ scene.planes.normal                 # (N, 3)
+        pd = p_onehot @ scene.planes.d                      # (N,)
+        ndotd = jnp.sum(pn * d, axis=-1)
+        safe_dd = jnp.where(jnp.abs(ndotd) > 1e-12, ndotd, 1.0)
+        t_p = -(jnp.sum(pn * o, axis=-1) + pd) / safe_dd
+
+        t = jnp.where(is_sphere, t_s, jnp.where(is_plane, t_p, 0.0))
+        hit_p = o + t[:, None] * d
+        normal = jnp.where(is_sphere[:, None], safe_normalize(hit_p - c), pn)
+
+        # material id: integer gathers (no tangents); indices clamped to the
+        # owning table to keep out-of-class lanes in bounds
+        s_idx = jnp.where(is_sphere, r.idx, 0)
+        p_idx = jnp.where(is_plane, r.idx, 0)
+        mat = jnp.where(is_sphere, scene.spheres.material[s_idx],
+                        scene.planes.material[p_idx]).astype(jnp.int32)
+
+        # --- sky contribution (recorded miss mask) ------------------------
+        from .integrator import sky_colour
+
+        rad = rad + jnp.where(r.miss[:, None], thr * sky_colour(d), 0.0)
+
+        # --- scatter with pinned decisions --------------------------------
+        kb = _rng.fold(key, b)
+        ur = _rng.unit_vector(_rng.fold(kb, 1), (n,), mode=rng_mode)
+        coin = _rng.uniform(_rng.fold(kb, 2), (n,))
+        brdf_class = classes[scene.materials.type[mat]]
+        sc = scatter(scene.materials, brdf_class, mat, d, normal, ur, coin,
+                     decisions=(r.reflect_bit, r.lam_deg))
+
+        live_h = r.live_in & hit
+        thr = jnp.where(r.alive_out[:, None], thr * sc.attenuation, thr)
+        o = jnp.where(live_h[:, None], hit_p, o)
+        d = jnp.where(live_h[:, None], sc.direction, d)
+        return (o, d, thr, rad), None
+
+    init = (
+        origins,
+        dirs,
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+    )
+    (_, _, _, radiance), _ = jax.lax.scan(body, init, (jnp.arange(max_bounces), records))
+    return radiance
+
+
+def trace_batch_replay(
+    scene,
+    origins: jax.Array,
+    dirs: jax.Array,
+    key: jax.Array,
+    *,
+    personality: str = "mg",
+    max_bounces: Optional[int] = None,
+    rng_mode: str = "reference",
+    **_unused,
+) -> jax.Array:
+    """trace_batch with replay-mode gradients: same value, detached-sampling
+    gradient at a fraction of the backward cost."""
+    _, records = jax.lax.stop_gradient(
+        trace_batch_recorded(
+            scene, origins, dirs, key,
+            personality=personality, max_bounces=max_bounces, rng_mode=rng_mode,
+        )
+    )
+    return replay_radiance(
+        scene, origins, dirs, key, records,
+        personality=personality, max_bounces=max_bounces, rng_mode=rng_mode,
+    )

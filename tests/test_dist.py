@@ -56,10 +56,11 @@ def test_sharded_gradients_match(setup):
     loss, grads = diff.loss_and_grad(params, s, target, size, key, spp=1, max_bounces=3,
                                      ray_chunk=256)
     mesh = dist.make_mesh(4, 2)
-    loss_sh, grads_sh = diff.loss_and_grad(
-        params, s, target, size, key, spp=1, max_bounces=3, ray_chunk=256,
+    sharded = jax.jit(lambda p: jax.value_and_grad(diff.image_loss)(
+        p, s, target, size, key, spp=1, max_bounces=3, ray_chunk=256,
         render_fn=lambda sc, sz, k, **o: dist.render_image_sharded(sc, sz, k, mesh, **o),
-    )
+    ))
+    loss_sh, grads_sh = sharded(params)
     assert float(loss_sh) == pytest.approx(float(loss), rel=1e-6)
     for k in grads:
         np.testing.assert_allclose(np.asarray(grads_sh[k]), np.asarray(grads[k]),
