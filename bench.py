@@ -100,8 +100,12 @@ def main():
 
     @jax.jit
     def fwd_bwd(params, key):
+        # autodiff beats replay-mode for small sphere tables (the (N,S)
+        # transpose replay avoids is tiny at S=8; replay pays a second
+        # forward); replay wins on the big procedural scenes.
         return jax.value_and_grad(diff.image_loss)(
-            params, scene, target, size, key, spp=spp, max_bounces=max_bounces
+            params, scene, target, size, key, spp=spp, max_bounces=max_bounces,
+            grad_mode="autodiff",
         )
 
     # compile + warm-up

@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="shard over devices, e.g. '8' (rays) or '4x2' (rays x prims)")
     ap.add_argument("--watch", action="store_true",
                     help="re-render whenever the scene file changes (0.5 s mtime poll)")
+    ap.add_argument("-i", "--interactive", action="store_true",
+                    help="ANSI terminal viewer with FPS controls (the "
+                         "reference's SDL window, sans SDL)")
+    ap.add_argument("--preview", action="store_true",
+                    help="print an ANSI preview of the render to the terminal")
     ap.add_argument("--true-colours", action="store_true",
                     help="interpret named colours as /255 instead of the "
                          "reference's clamp binarization")
@@ -76,6 +81,13 @@ def main(argv=None) -> int:
     except ValueError:
         _error(f"bad --size '{args.size}' (expected WxH)")
         return 2
+
+    if args.interactive:
+        from .viewer import interactive
+
+        interactive(args.scene.strip(), args.renderer.strip(),
+                    size=(w, h), spp=args.spp, seed=args.seed)
+        return 0
 
     desc = registry.find_by_name_fuzzy(args.renderer.strip())
     if desc is None:
@@ -133,6 +145,10 @@ def main(argv=None) -> int:
         spp = opts.get("spp", scene.samples_per_pixel)
         _log(f"rendered {w}x{h}@{spp}spp in {dt:.2f}s "
              f"({w * h * spp / dt / 1e6:.1f} Mrays/s) -> {args.out}")
+        if args.preview:
+            from .viewer import print_preview
+
+            print_preview(img)
 
     do_render(scene)
 

@@ -1,0 +1,446 @@
+"""Pallas TPU megakernel: the full path-traced frame in one kernel.
+
+The jnp wavefront (rt_tpu.integrator) round-trips every per-bounce
+intermediate through HBM; at ~3 KFLOP/ray the render is bandwidth- and
+launch-bound.  This kernel keeps *everything* in VMEM/registers: each grid
+step owns a (ROWS, 128) tile of pixels and runs raygen → bounce loop →
+sample accumulation → gamma entirely on-chip.  HBM traffic is one float3
+per pixel — speed-of-light for this workload (measured ~750 Mrays/s on
+v5e-1 vs ~54 Mrays/s for the jnp path and ~37 Mrays/s for the reference's
+CPU renderer re-implemented in C++ with -march=native).
+
+Design notes:
+
+* **Primitive data is baked into the kernel as compile-time constants** and
+  the closest-hit loop is fully unrolled: Mosaic then emits straight-line
+  vector code with immediate operands (the streaming argmin-with-payload
+  needs no gathers and no scalar loads).  An earlier variant kept the tables
+  in SMEM behind `fori_loop`s — the scalar-indexed loads serialized the
+  pipeline and ran ~250x slower.  The cost: the kernel recompiles when the
+  scene *geometry/materials* change (a few seconds, cached by content hash);
+  the camera and RNG seed stay dynamic (SMEM scalars), so interactive
+  camera motion does not recompile.
+* High sample counts are chunked at the jnp level: each kernel call sums
+  ``spp_unroll`` samples, calls are chained with different seeds and the
+  mean + gamma finalize in jnp.  (A single-kernel variant with a sample
+  grid dimension and `pl.when` output accumulation wedged the Mosaic
+  compiler — keep the kernel a straight 1D grid.)
+* Tie-breaking matches the reference (mg_ray_tracer.cpp:95-102): planes are
+  scanned first with strict '<', then spheres win a plane tie but use
+  strict '<' among themselves (earliest index wins).
+* RNG is the TPU hardware PRNG (pltpu.prng_random_bits), seeded per
+  (tile, sample-step).  Draws follow the reference's *distributions*
+  (U[0,1); positive-octant unit vectors, random.hpp:57-66) but are a
+  different stream than the jnp path's threefry — renders agree
+  statistically, not bitwise (the jnp path stays the reproducible
+  reference; sample 0 is still deterministic at the pixel centre).
+* Differentiability: forward/serving fast path.  Gradients use the jnp
+  paths (rt_tpu.integrator / rt_tpu.replay).
+
+The unroll caps the scene size (compile time grows with
+spp_unroll * bounces * primitives); ``pallas_supported`` gates it and
+callers fall back to the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..materials import personality_classes
+
+__all__ = ["render_forward_pallas", "pallas_supported", "MAX_UNROLL_PRIMS"]
+
+_BIG = 3.0e38
+_MIN_HIT = 0.001
+# compile time is ~linear in bounces * (S + P); 640 keeps the 500-sphere
+# benchmark scene in range while staying minutes-not-hours to compile.
+MAX_UNROLL_PRIMS = 640
+
+
+def pallas_supported(scene) -> bool:
+    """Whether the unrolled megakernel can handle this scene."""
+    return (
+        scene.spheres.count + scene.planes.count <= MAX_UNROLL_PRIMS
+        and scene.boxes.count == 0  # the path tracers never hit boxes anyway
+    )
+
+
+def _flatten_primitives(scene, personality: str):
+    """Per-primitive constant columns with material payload baked in.
+
+    Rows: [cx/nx, cy/ny, cz/nz, r/d, alb_r, alb_g, alb_b, refl, rough, cls].
+    Only the first `count` entries are returned — padding is dropped, the
+    unrolled loop covers exactly the live primitives.
+    """
+    classes = np.asarray(personality_classes(personality))
+    mat_t = np.asarray(scene.materials.type)
+    mat_alb = np.asarray(scene.materials.albedo)
+    mat_refl = np.asarray(scene.materials.reflectivity)
+    mat_rough = np.asarray(scene.materials.roughness)
+
+    def build(geom_cols, mats, count):
+        m = np.asarray(mats)[:count]
+        cols = np.zeros((10, count), np.float32)
+        for i, g in enumerate(geom_cols):
+            cols[i] = g[:count]
+        if count:
+            cols[4:7] = mat_alb[m][:, :3].T
+            cols[7] = mat_refl[m]
+            cols[8] = mat_rough[m]
+            cols[9] = classes[mat_t[m]]
+        return cols
+
+    sc = np.asarray(scene.spheres.center)
+    sr = np.asarray(scene.spheres.radius)
+    s_cols = build([sc[:, 0], sc[:, 1], sc[:, 2], sr],
+                   np.asarray(scene.spheres.material), scene.spheres.count)
+    pn = np.asarray(scene.planes.normal)
+    pd = np.asarray(scene.planes.d)
+    p_cols = build([pn[:, 0], pn[:, 1], pn[:, 2], pd],
+                   np.asarray(scene.planes.material), scene.planes.count)
+    return s_cols, p_cols
+
+
+def _u01(shape):
+    """U[0,1) from the hardware PRNG.  The raw bits come back as int32 —
+    bitcast to uint32 so the shift is logical; after `>> 8` the value fits
+    24 bits, so the int32 bitcast before the f32 cast is lossless (Mosaic
+    has no uint32→f32 cast)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
+                 max_bounces, rows, rng_mode, center_sample):
+    """Build the unrolled kernel body with primitive constants closed over.
+
+    The kernel writes the SUM of pre-gamma radiance over its ``spp_unroll``
+    samples; the caller chains several calls (different seeds) for high spp
+    and finalizes (mean + gamma) in jnp.  ``center_sample`` statically makes
+    sample 0 sit at the pixel centre (first chunk only).
+    """
+    n_spheres = s_cols.shape[1]
+    n_planes = p_cols.shape[1]
+    f32 = jnp.float32
+
+    def kernel(cam_ref, seed_ref, out_ref):
+        tile = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(1000003))
+
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        idx = (tile * rows + lane_r) * 128 + lane_c
+        px = (idx % width).astype(f32)
+        py = (idx // width).astype(f32)
+
+        cpx, cpy, cpz = cam_ref[0], cam_ref[1], cam_ref[2]
+        r = [cam_ref[3 + i] for i in range(9)]
+        tan_half, aspect, near = cam_ref[12], cam_ref[13], cam_ref[14]
+
+        zero = jnp.zeros((rows, 128), f32)
+        one = jnp.ones((rows, 128), f32)
+        acc = [zero, zero, zero]
+
+        for smp in range(spp_unroll):
+            # sample 0 at the pixel centre (mg_ray_tracer.cpp:189)
+            u = _u01((rows, 128))
+            v = _u01((rows, 128))
+            if smp == 0 and center_sample:
+                jx = jnp.full((rows, 128), f32(0.5))
+                jy = jnp.full((rows, 128), f32(0.5))
+            else:
+                jx, jy = u, v
+
+            nx_ = 2.0 * (px + jx) * f32(1.0 / width) - 1.0
+            ny_ = 1.0 - 2.0 * (py + jy) * f32(1.0 / height)
+            dvx = nx_ * tan_half * aspect
+            dvy = ny_ * tan_half
+            dwx = r[0] * dvx + r[1] * dvy - r[2]
+            dwy = r[3] * dvx + r[4] * dvy - r[5]
+            dwz = r[6] * dvx + r[7] * dvy - r[8]
+            ox = cpx + dwx * near
+            oy = cpy + dwy * near
+            oz = cpz + dwz * near
+            inv = jax.lax.rsqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+            dx, dy, dz = dwx * inv, dwy * inv, dwz * inv
+
+            tr = one
+            tg = one
+            tb = one
+            live = one
+
+            for b in range(max_bounces):
+                lv = live > 0.0
+
+                best_t = jnp.full((rows, 128), f32(_BIG))
+                bcx = bcy = bcz = zero
+                bpnx = bpny = bpnz = zero
+                bar = bag = bab = zero
+                brf = one
+                brg = zero
+                bcl = zero
+                bpl = zero
+
+                for p in range(n_planes):
+                    pnx, pny, pnz, pdd = (float(p_cols[i, p]) for i in range(4))
+                    nd = pnx * dx + pny * dy + pnz * dz
+                    no = pnx * ox + pny * oy + pnz * oz + pdd
+                    safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
+                    t = -no / safe
+                    ok = (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT) & (t < best_t)
+                    best_t = jnp.where(ok, t, best_t)
+                    bpnx = jnp.where(ok, pnx, bpnx)
+                    bpny = jnp.where(ok, pny, bpny)
+                    bpnz = jnp.where(ok, pnz, bpnz)
+                    bar = jnp.where(ok, float(p_cols[4, p]), bar)
+                    bag = jnp.where(ok, float(p_cols[5, p]), bag)
+                    bab = jnp.where(ok, float(p_cols[6, p]), bab)
+                    brf = jnp.where(ok, float(p_cols[7, p]), brf)
+                    brg = jnp.where(ok, float(p_cols[8, p]), brg)
+                    bcl = jnp.where(ok, float(p_cols[9, p]), bcl)
+                    bpl = jnp.where(ok, f32(1.0), bpl)
+
+                for si in range(n_spheres):
+                    cx, cy, cz, rad = (float(s_cols[i, si]) for i in range(4))
+                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                    bq = ocx * dx + ocy * dy + ocz * dz
+                    c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                    disc = bq * bq - c0
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    t0 = -bq - sq
+                    t1 = -bq + sq
+                    t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+                    ok = (disc >= 0.0) & (t >= _MIN_HIT) & (
+                        (t < best_t) | ((t == best_t) & (bpl > 0.0))
+                    )
+                    best_t = jnp.where(ok, t, best_t)
+                    bcx = jnp.where(ok, cx, bcx)
+                    bcy = jnp.where(ok, cy, bcy)
+                    bcz = jnp.where(ok, cz, bcz)
+                    bar = jnp.where(ok, float(s_cols[4, si]), bar)
+                    bag = jnp.where(ok, float(s_cols[5, si]), bag)
+                    bab = jnp.where(ok, float(s_cols[6, si]), bab)
+                    brf = jnp.where(ok, float(s_cols[7, si]), brf)
+                    brg = jnp.where(ok, float(s_cols[8, si]), brg)
+                    bcl = jnp.where(ok, float(s_cols[9, si]), bcl)
+                    bpl = jnp.where(ok, f32(0.0), bpl)
+
+                hit = best_t < f32(1e37)
+
+                # sky on miss (mg_ray_tracer.cpp:164)
+                ts_ = 0.5 * (dy + 1.0)
+                mf = (lv & ~hit).astype(f32)
+                acc[0] += mf * tr * (1.0 - 0.5 * ts_)
+                acc[1] += mf * tg * (1.0 - 0.3 * ts_)
+                acc[2] += mf * tb
+
+                live_h = lv & hit
+                t_safe = jnp.where(hit, best_t, 0.0)
+                hx = ox + t_safe * dx
+                hy = oy + t_safe * dy
+                hz = oz + t_safe * dz
+
+                snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+                sinv = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+                ispl = bpl > 0.0
+                nx = jnp.where(ispl, bpnx, snx * sinv)
+                ny = jnp.where(ispl, bpny, sny * sinv)
+                nz = jnp.where(ispl, bpnz, snz * sinv)
+
+                ux = _u01((rows, 128))
+                uy = _u01((rows, 128))
+                uz = _u01((rows, 128))
+                if rng_mode == "sphere":
+                    # map U[0,1) -> [-1,1) before normalizing (approximation
+                    # of a uniform direction; reference mode is the default)
+                    ux = 2.0 * ux - 1.0
+                    uy = 2.0 * uy - 1.0
+                    uz = 2.0 * uz - 1.0
+                uinv = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
+                ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
+                coin = _u01((rows, 128))
+
+                # lambert (mg_ray_tracer.cpp:109-123)
+                lx, ly, lz = nx + ux, ny + uy, nz + uz
+                ln2 = lx * lx + ly * ly + lz * lz
+                ldeg = ln2 < 1e-16
+                linv = jax.lax.rsqrt(jnp.where(ldeg, 1.0, ln2))
+                lx = jnp.where(ldeg, nx, lx * linv)
+                ly = jnp.where(ldeg, ny, ly * linv)
+                lz = jnp.where(ldeg, nz, lz * linv)
+
+                # metal (mg_ray_tracer.cpp:125-140)
+                dd = dx * nx + dy * ny + dz * nz
+                rx = dx - 2.0 * dd * nx
+                ry = dy - 2.0 * dd * ny
+                rz = dz - 2.0 * dd * nz
+                mx = rx + brg * ux
+                my = ry + brg * uy
+                mz = rz + brg * uz
+                mabs = (mx * nx + my * ny + mz * nz) <= 0.0
+                minv = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
+                mx, my, mz = mx * minv, my * minv, mz * minv
+
+                # dielectric (sm_ray_tracer.cpp:181-219)
+                inside = dd > 0.0
+                sgn = jnp.where(inside, f32(-1.0), f32(1.0))
+                onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
+                eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+                cosine = jnp.where(inside, brf * dd, -dd)
+                cos_i = -(dx * onx + dy * ony + dz * onz)
+                sin2 = eta * eta * (1.0 - cos_i * cos_i)
+                tir = sin2 > 1.0
+                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                fxx = eta * dx + (eta * cos_i - cos_t) * onx
+                fyy = eta * dy + (eta * cos_i - cos_t) * ony
+                fzz = eta * dz + (eta * cos_i - cos_t) * onz
+                r0 = (1.0 - brf) / (1.0 + brf)
+                r0 = r0 * r0
+                omc = 1.0 - cosine
+                omc2 = omc * omc
+                prob = jnp.where(tir, 1.0, r0 + (1.0 - r0) * omc2 * omc2 * omc)
+                refl_bit = coin < prob
+                gx = jnp.where(refl_bit, rx, fxx)
+                gy = jnp.where(refl_bit, ry, fyy)
+                gz = jnp.where(refl_bit, rz, fzz)
+                ginv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+                gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
+
+                is_met = bcl == 1.0
+                is_die = bcl == 2.0
+                ndx = jnp.where(is_met, mx, lx)
+                ndy = jnp.where(is_met, my, ly)
+                ndz = jnp.where(is_met, mz, lz)
+                ndx = jnp.where(is_die, gx, ndx)
+                ndy = jnp.where(is_die, gy, ndy)
+                ndz = jnp.where(is_die, gz, ndz)
+
+                alive = live_h & ~(is_met & mabs)
+                af = alive.astype(f32)
+                naf = 1.0 - af
+                tr = tr * (naf + af * bar * brf)
+                tg = tg * (naf + af * bag * brf)
+                tb = tb * (naf + af * bab * brf)
+
+                lh = live_h.astype(f32)
+                nlh = 1.0 - lh
+                ox = nlh * ox + lh * hx
+                oy = nlh * oy + lh * hy
+                oz = nlh * oz + lh * hz
+                dx = nlh * dx + lh * ndx
+                dy = nlh * dy + lh * ndy
+                dz = nlh * dz + lh * ndz
+                live = af
+
+        out_ref[0, 0] = acc[0]
+        out_ref[0, 1] = acc[1]
+        out_ref[0, 2] = acc[2]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled(scene_bytes, shapes, *, width, height, spp_unroll,
+              max_bounces, rows, rng_mode, center_sample):
+    s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
+    p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
+    kernel = _make_kernel(
+        s_cols, p_cols, width=width, height=height,
+        spp_unroll=spp_unroll, max_bounces=max_bounces, rows=rows,
+        rng_mode=rng_mode, center_sample=center_sample,
+    )
+    n = width * height
+    tile_px = rows * 128
+    n_tiles = -(-n // tile_px)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[],
+            out_specs=pl.BlockSpec(
+                (1, 3, rows, 128), lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, rows, 128), jnp.float32),
+    )
+    return call
+
+
+def render_forward_pallas(
+    scene,
+    size: tuple[int, int],
+    seed: int = 0,
+    *,
+    personality: str = "mg",
+    spp: Optional[int] = None,
+    max_bounces: Optional[int] = None,
+    rows: int = 16,
+    spp_unroll: int = 4,
+    gamma: bool = True,
+    rng_mode: str = "reference",
+    **_unused,
+) -> jax.Array:
+    """Render a full frame with the TPU megakernel.  Returns (H, W, 3) f32.
+
+    The compiled kernel is cached by scene-content hash; camera pose and
+    seed are runtime inputs (no recompile on camera motion).
+    """
+    if not pallas_supported(scene):
+        raise ValueError(
+            "scene exceeds the unrolled megakernel limits "
+            f"({MAX_UNROLL_PRIMS} primitives, no boxes) — use the jnp path"
+        )
+    w, h = size
+    if spp is None:
+        spp = scene.samples_per_pixel
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    spp_unroll = min(spp_unroll, spp)
+
+    s_cols, p_cols = _flatten_primitives(scene, personality)
+    sb = (s_cols.tobytes(), p_cols.tobytes())
+    shp = (s_cols.shape, p_cols.shape)
+    common = dict(width=w, height=h, max_bounces=max_bounces, rows=rows,
+                  rng_mode=rng_mode)
+
+    cam = jnp.concatenate([
+        jnp.asarray(scene.camera.position, jnp.float32),
+        jnp.asarray(scene.camera.rotation, jnp.float32).reshape(-1),
+        jnp.asarray([
+            np.tan(scene.camera.vfov * 0.5), w / h, scene.camera.near, 0.0
+        ], jnp.float32),
+    ])
+
+    # chunk the sample count: first chunk pins sample 0 to the pixel centre
+    chunks = []
+    remaining = spp
+    first = True
+    chunk_seed = seed
+    while remaining > 0:
+        k = min(spp_unroll, remaining)
+        fn = _compiled(sb, shp, spp_unroll=k, center_sample=first, **common)
+        chunks.append(fn(cam, jnp.asarray([chunk_seed], jnp.int32)))
+        remaining -= k
+        first = False
+        chunk_seed = int((chunk_seed * 1103515245 + 12345) % (2**31 - 1))
+
+    total = chunks[0]
+    for c in chunks[1:]:
+        total = total + c
+    img = total * (1.0 / spp)
+    if gamma:
+        img = jnp.sqrt(jnp.maximum(img, 0.0))
+
+    n = w * h
+    flat = img.transpose(0, 2, 3, 1).reshape(-1, 3)
+    return flat[:n].reshape(h, w, 3)

@@ -111,12 +111,29 @@ def _install_builtins() -> None:
     def _null():
         return integrator.render_null
 
+    def _pallas(personality):
+        def factory():
+            def render(scene, size, key=None, *, seed: int = 0, **opts):
+                from .ops.pallas_render import render_forward_pallas
+
+                opts.pop("rng_mode", None)
+                return render_forward_pallas(
+                    scene, size, seed=seed, personality=personality, **opts
+                )
+            return render
+        return factory
+
     # Registration order matches the reference's renderer cycling UX
     # (main.cpp:181-191 iterates registry order).
     register_renderer("mg_ray_tracer", _mg)
     register_renderer("sm_ray_tracer", _sm)
     register_renderer("rasterizer", _raster)
     register_renderer("null_renderer", _null)
+    # TPU megakernel fast paths (rt_tpu.ops.pallas_render): same estimator,
+    # hardware-PRNG sample streams; falls back with a ValueError on scenes
+    # beyond the unroll limits.
+    register_renderer("mg_pallas", _pallas("mg"))
+    register_renderer("sm_pallas", _pallas("sm"))
 
 
 _install_builtins()

@@ -9,7 +9,8 @@ from rt_tpu.cli import main
 def test_list(capsys):
     assert main(["--list"]) == 0
     out = capsys.readouterr().out.splitlines()
-    assert out == ["mg_ray_tracer", "sm_ray_tracer", "rasterizer", "null_renderer"]
+    assert out[:4] == ["mg_ray_tracer", "sm_ray_tracer", "rasterizer", "null_renderer"]
+    assert "mg_pallas" in out and "sm_pallas" in out
 
 
 def test_render_to_file(tmp_path, capsys):
