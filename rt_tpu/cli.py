@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "reference's SDL window, sans SDL)")
     ap.add_argument("--preview", action="store_true",
                     help="print an ANSI preview of the render to the terminal")
+    ap.add_argument("--boxes", action="store_true",
+                    help="enable real box intersection in the path tracers "
+                         "(the reference's test_boxes is a stub that never "
+                         "hits, mg_ray_tracer.cpp:89-93 — parity default)")
     ap.add_argument("--true-colours", action="store_true",
                     help="interpret named colours as /255 instead of the "
                          "reference's clamp binarization")
@@ -116,6 +120,8 @@ def main(argv=None) -> int:
         opts["spp"] = args.spp
     if args.bounces is not None:
         opts["max_bounces"] = args.bounces
+    if args.boxes and desc.name in ("mg_ray_tracer", "sm_ray_tracer"):
+        opts["include_boxes"] = True
 
     render_fn = render
     if args.mesh:

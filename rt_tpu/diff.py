@@ -100,3 +100,73 @@ def loss_and_grad(params, scene, target, size, key, **opts):
     """(loss, grads) — deterministic for a fixed key, so finite-difference
     validation applies directly."""
     return jax.value_and_grad(image_loss)(params, scene, target, size, key, **opts)
+
+
+def pallas_loss_and_grad(
+    params,
+    scene,
+    target,
+    size,
+    seed: int = 0,
+    *,
+    spp: int = 4,
+    max_bounces: int = 8,
+    personality: str = "mg",
+    rng_mode: str = "reference",
+):
+    """(loss, grads) with the Pallas megakernel as the forward/record pass
+    and the jnp replay as the differentiable pass.
+
+    The megakernel bakes primitive/material values as compile-time
+    constants, so the record pass runs at the *concrete* ``params`` (applied
+    host-side) and the kernel recompiles if those values change between
+    calls.  This makes the pipeline ideal for (a) repeated gradient
+    evaluation at fixed scene parameters (benchmarking, sensitivity
+    analysis) and (b) optimizing **camera pose only** (the camera is a
+    dynamic kernel input — no recompiles).  For full scene-parameter
+    training loops use the jnp paths (grad_mode="replay"/"autodiff").
+    """
+    import jax.numpy as jnp
+
+    from .replay import PathRecords, replay_radiance
+    from .camera import generate_rays
+    from .integrator import _pixel_grid
+    from .ops.pallas_render import records_to_flat, render_record_pallas
+
+    w, h = size
+    n = w * h
+    concrete = apply_params(scene, jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x), params))
+    # records at the current parameter point (host-side, not traced)
+    rec_sets = []
+    for s in range(spp):
+        _, raw = render_record_pallas(
+            concrete, size, seed=seed * 100003 + s,
+            personality=personality, max_bounces=max_bounces,
+            rng_mode=rng_mode, center_sample=(s == 0),
+        )
+        rec_sets.append(records_to_flat(raw, n, max_bounces))
+
+    grid = _pixel_grid(size)
+    target = jnp.asarray(target)
+
+    def loss_fn(p):
+        sc = apply_params(scene, p)
+        acc = jnp.zeros((n, 3), jnp.float32)
+        for rec in rec_sets:
+            o, d = generate_rays(sc.camera, size, grid + rec["jitter"])
+            pr = PathRecords(
+                kind=rec["kind"], idx=rec["idx"], root_lo=rec["root_lo"],
+                live_in=rec["live_in"], miss=rec["miss"],
+                alive_out=rec["alive_out"], reflect_bit=rec["reflect_bit"],
+                lam_deg=rec["lam_deg"],
+            )
+            acc = acc + replay_radiance(
+                sc, o, d, None, pr,
+                personality=personality, max_bounces=max_bounces,
+                draws=(rec["ur"], rec["coin"]),
+            )
+        img = (acc / spp).reshape(h, w, 3)
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)

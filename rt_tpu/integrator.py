@@ -144,6 +144,7 @@ def render_image(
     chunk_offset=0,
     remat: bool = True,
     grad_mode: str = "autodiff",
+    include_boxes: bool = False,
 ) -> jax.Array:
     """Full path-traced frame.  Returns (H, W, 3) f32 (pre-quantization).
 
@@ -163,6 +164,7 @@ def render_image(
         spp=spp, personality=personality, max_bounces=max_bounces,
         rng_mode=rng_mode, ray_chunk=ray_chunk, hit_fn=hit_fn,
         chunk_offset=chunk_offset, remat=remat, grad_mode=grad_mode,
+        include_boxes=include_boxes,
     )
     img = acc[:n]
     if gamma:
@@ -191,6 +193,7 @@ def render_pixels(
     chunk_offset=0,
     remat: bool = True,
     grad_mode: str = "autodiff",
+    include_boxes: bool = False,
 ) -> jax.Array:
     """Mean radiance over spp samples for a flat (N, 2) pixel array.
 
@@ -238,7 +241,7 @@ def render_pixels(
             return _trace(
                 scene, o, d, _rng.fold(kc, 3),
                 personality=personality, max_bounces=max_bounces, rng_mode=rng_mode,
-                hit_fn=hit_fn,
+                hit_fn=hit_fn, include_boxes=include_boxes,
             )
 
         if remat:

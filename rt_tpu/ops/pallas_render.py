@@ -119,19 +119,29 @@ def _u01(shape):
 
 
 def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
-                 max_bounces, rows, rng_mode, center_sample):
+                 max_bounces, rows, rng_mode, center_sample, record=False):
     """Build the unrolled kernel body with primitive constants closed over.
 
     The kernel writes the SUM of pre-gamma radiance over its ``spp_unroll``
     samples; the caller chains several calls (different seeds) for high spp
     and finalizes (mean + gamma) in jnp.  ``center_sample`` statically makes
     sample 0 sit at the pixel centre (first chunk only).
+
+    ``record=True`` (requires spp_unroll == 1) additionally emits the
+    discrete path structure + random draws per bounce — the residuals for
+    replay-mode gradients (rt_tpu.replay): kind/idx/decision-bit floats,
+    the unit vector, the coin, and the pixel jitter.
     """
     n_spheres = s_cols.shape[1]
     n_planes = p_cols.shape[1]
     f32 = jnp.float32
+    if record:
+        assert spp_unroll == 1
 
-    def kernel(cam_ref, seed_ref, out_ref):
+    def kernel(cam_ref, seed_ref, out_ref, *rec_refs):
+        if record:
+            (kind_ref, idx_ref, bits_ref, urx_ref, ury_ref, urz_ref,
+             coin_ref, jit_ref) = rec_refs
         tile = pl.program_id(0)
         pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(1000003))
 
@@ -158,6 +168,9 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                 jy = jnp.full((rows, 128), f32(0.5))
             else:
                 jx, jy = u, v
+            if record:
+                jit_ref[0, 0] = jx
+                jit_ref[0, 1] = jy
 
             nx_ = 2.0 * (px + jx) * f32(1.0 / width) - 1.0
             ny_ = 1.0 - 2.0 * (py + jy) * f32(1.0 / height)
@@ -188,6 +201,8 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                 brg = zero
                 bcl = zero
                 bpl = zero
+                b_idx = zero   # winner index (record mode)
+                b_root = zero  # sphere near-root bit (record mode)
 
                 for p in range(n_planes):
                     pnx, pny, pnz, pdd = (float(p_cols[i, p]) for i in range(4))
@@ -207,6 +222,8 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                     brg = jnp.where(ok, float(p_cols[8, p]), brg)
                     bcl = jnp.where(ok, float(p_cols[9, p]), bcl)
                     bpl = jnp.where(ok, f32(1.0), bpl)
+                    if record:
+                        b_idx = jnp.where(ok, f32(p), b_idx)
 
                 for si in range(n_spheres):
                     cx, cy, cz, rad = (float(s_cols[i, si]) for i in range(4))
@@ -232,6 +249,9 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                     brg = jnp.where(ok, float(s_cols[8, si]), brg)
                     bcl = jnp.where(ok, float(s_cols[9, si]), bcl)
                     bpl = jnp.where(ok, f32(0.0), bpl)
+                    if record:
+                        b_idx = jnp.where(ok, f32(si), b_idx)
+                        b_root = jnp.where(ok, (t0 >= _MIN_HIT).astype(f32), b_root)
 
                 hit = best_t < f32(1e37)
 
@@ -330,6 +350,23 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                 tg = tg * (naf + af * bag * brf)
                 tb = tb * (naf + af * bab * brf)
 
+                if record:
+                    kind_ref[0, b] = jnp.where(
+                        hit, jnp.where(ispl, f32(2.0), f32(1.0)), f32(0.0))
+                    idx_ref[0, b] = b_idx
+                    bits_ref[0, b] = (
+                        b_root
+                        + 2.0 * refl_bit.astype(f32)
+                        + 4.0 * ldeg.astype(f32)
+                        + 8.0 * (lv & ~hit).astype(f32)
+                        + 16.0 * lv.astype(f32)
+                        + 32.0 * af
+                    )
+                    urx_ref[0, b] = ux
+                    ury_ref[0, b] = uy
+                    urz_ref[0, b] = uz
+                    coin_ref[0, b] = coin
+
                 lh = live_h.astype(f32)
                 nlh = 1.0 - lh
                 ox = nlh * ox + lh * hx
@@ -374,6 +411,111 @@ def _compiled(scene_bytes, shapes, *, width, height, spp_unroll,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 3, rows, 128), jnp.float32),
     )
     return call
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_record(scene_bytes, shapes, *, width, height, max_bounces,
+                     rows, rng_mode, center_sample):
+    s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
+    p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
+    kernel = _make_kernel(
+        s_cols, p_cols, width=width, height=height, spp_unroll=1,
+        max_bounces=max_bounces, rows=rows, rng_mode=rng_mode,
+        center_sample=center_sample, record=True,
+    )
+    n = width * height
+    n_tiles = -(-n // (rows * 128))
+    B = max_bounces
+
+    def spec(ch):
+        return pl.BlockSpec((1, ch, rows, 128), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def shp(ch, dtype=jnp.float32):
+        return jax.ShapeDtypeStruct((n_tiles, ch, rows, 128), dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[],
+            out_specs=(spec(3), spec(B), spec(B), spec(B), spec(B), spec(B),
+                       spec(B), spec(B), spec(2)),
+        ),
+        out_shape=(shp(3), shp(B), shp(B), shp(B), shp(B), shp(B), shp(B),
+                   shp(B), shp(2)),
+    )
+    return call
+
+
+def render_record_pallas(
+    scene,
+    size: tuple[int, int],
+    seed: int,
+    *,
+    personality: str = "mg",
+    max_bounces: Optional[int] = None,
+    rows: int = 16,
+    rng_mode: str = "reference",
+    center_sample: bool = True,
+):
+    """One sample per pixel through the megakernel, emitting the replay
+    residuals.  Returns (radiance_sum, records_dict); every array is laid
+    out (n_tiles, CH, rows, 128) — use :func:`records_to_flat` to get the
+    (B, N) layout rt_tpu.replay consumes."""
+    if not pallas_supported(scene):
+        raise ValueError("scene exceeds the unrolled megakernel limits")
+    w, h = size
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    s_cols, p_cols = _flatten_primitives(scene, personality)
+    fn = _compiled_record(
+        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
+        width=w, height=h, max_bounces=max_bounces, rows=rows,
+        rng_mode=rng_mode, center_sample=center_sample,
+    )
+    cam = jnp.concatenate([
+        jnp.asarray(scene.camera.position, jnp.float32),
+        jnp.asarray(scene.camera.rotation, jnp.float32).reshape(-1),
+        jnp.asarray([
+            np.tan(scene.camera.vfov * 0.5), w / h, scene.camera.near, 0.0
+        ], jnp.float32),
+    ])
+    out = fn(cam, jnp.asarray([seed], jnp.int32))
+    rad, kind, idx, bits, urx, ury, urz, coin, jit = out
+    return rad, {
+        "kind": kind, "idx": idx, "bits": bits,
+        "urx": urx, "ury": ury, "urz": urz, "coin": coin, "jitter": jit,
+    }
+
+
+def records_to_flat(recs: dict, n: int, max_bounces: int):
+    """(n_tiles, CH, rows, 128) record arrays → (B, N) / (N, 2) layout."""
+    def flat(a):
+        # (T, CH, R, L) -> (CH, T*R*L) -> crop N
+        t, ch, r, l = a.shape
+        return a.transpose(1, 0, 2, 3).reshape(ch, t * r * l)[:, :n]
+
+    kind = flat(recs["kind"]).astype(jnp.int32)
+    idx = flat(recs["idx"]).astype(jnp.int32)
+    bits = flat(recs["bits"]).astype(jnp.int32)
+    ur = jnp.stack([flat(recs["urx"]), flat(recs["ury"]), flat(recs["urz"])], axis=-1)
+    coin = flat(recs["coin"])
+    jitter = flat(recs["jitter"]).T  # (N, 2)
+    return {
+        "kind": kind,
+        "idx": idx,
+        "root_lo": (bits & 1) > 0,
+        "reflect_bit": (bits & 2) > 0,
+        "lam_deg": (bits & 4) > 0,
+        "miss": (bits & 8) > 0,
+        "live_in": (bits & 16) > 0,
+        "alive_out": (bits & 32) > 0,
+        "ur": ur,       # (B, N, 3)
+        "coin": coin,   # (B, N)
+        "jitter": jitter,
+    }
 
 
 def render_forward_pallas(

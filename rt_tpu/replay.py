@@ -120,10 +120,16 @@ def replay_radiance(
     personality: str = "mg",
     max_bounces: Optional[int] = None,
     rng_mode: str = "reference",
+    draws=None,
 ) -> jax.Array:
     """Differentiable radiance with the discrete path structure pinned to
     ``records``.  O(1) work per ray per bounce (plus one-hot contractions
-    for parameter fetches)."""
+    for parameter fetches).
+
+    ``draws``: optional (unit_vectors (B, N, 3), coins (B, N)) to use
+    instead of regenerating the threefry stream — used when the records
+    come from the Pallas megakernel, whose hardware-PRNG draws the replay
+    must match."""
     if max_bounces is None:
         max_bounces = scene.max_bounces
     classes = personality_classes(personality)
@@ -133,7 +139,10 @@ def replay_radiance(
 
     def body(state, inp):
         o, d, thr, rad = state
-        b, r = inp
+        if draws is None:
+            b, r = inp
+        else:
+            b, r, ur_in, coin_in = inp
         is_sphere = r.kind == 1
         is_plane = r.kind == 2
         hit = r.kind > 0
@@ -176,9 +185,12 @@ def replay_radiance(
         rad = rad + jnp.where(r.miss[:, None], thr * sky_colour(d), 0.0)
 
         # --- scatter with pinned decisions --------------------------------
-        kb = _rng.fold(key, b)
-        ur = _rng.unit_vector(_rng.fold(kb, 1), (n,), mode=rng_mode)
-        coin = _rng.uniform(_rng.fold(kb, 2), (n,))
+        if draws is None:
+            kb = _rng.fold(key, b)
+            ur = _rng.unit_vector(_rng.fold(kb, 1), (n,), mode=rng_mode)
+            coin = _rng.uniform(_rng.fold(kb, 2), (n,))
+        else:
+            ur, coin = ur_in, coin_in
         brdf_class = classes[scene.materials.type[mat]]
         sc = scatter(scene.materials, brdf_class, mat, d, normal, ur, coin,
                      decisions=(r.reflect_bit, r.lam_deg))
@@ -195,7 +207,11 @@ def replay_radiance(
         jnp.ones((n, 3), jnp.float32),
         jnp.zeros((n, 3), jnp.float32),
     )
-    (_, _, _, radiance), _ = jax.lax.scan(body, init, (jnp.arange(max_bounces), records))
+    if draws is None:
+        xs = (jnp.arange(max_bounces), records)
+    else:
+        xs = (jnp.arange(max_bounces), records, draws[0], draws[1])
+    (_, _, _, radiance), _ = jax.lax.scan(body, init, xs)
     return radiance
 
 
