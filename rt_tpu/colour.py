@@ -28,6 +28,8 @@ import numpy as np
 __all__ = [
     "NAMED_COLOURS",
     "colour_from_hex",
+    "colour_from_rgba_hex",
+    "colour_from_argb_hex",
     "resolve_colour",
     "pack_rgba8888",
     "unpack_rgba8888",
@@ -208,6 +210,21 @@ def colour_from_hex(rgb_hex: int, *, compat: bool = True) -> tuple[float, float,
     if compat:
         return (_component_compat(r), _component_compat(g), _component_compat(b), 1.0)
     return (r / 255.0, g / 255.0, b / 255.0, 1.0)
+
+
+def colour_from_rgba_hex(rgba_hex: int, *, compat: bool = True) -> tuple[float, float, float, float]:
+    """0xRRGGBBAA literal → RGBA tuple (the ``_rgba`` UDL, colour.hpp:158-162)."""
+    comps = [(rgba_hex >> s) & 0xFF for s in (24, 16, 8, 0)]
+    if compat:
+        return tuple(_component_compat(c) for c in comps)
+    return tuple(c / 255.0 for c in comps)
+
+
+def colour_from_argb_hex(argb_hex: int, *, compat: bool = True) -> tuple[float, float, float, float]:
+    """0xAARRGGBB literal → RGBA tuple (the ``_argb`` UDL, colour.hpp:171-176)."""
+    a = (argb_hex >> 24) & 0xFF
+    rgb = argb_hex & 0xFFFFFF
+    return colour_from_rgba_hex((rgb << 8) | a, compat=compat)
 
 
 def resolve_colour(value, *, compat: bool = True) -> tuple[float, float, float, float]:

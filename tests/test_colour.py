@@ -68,3 +68,18 @@ def test_colour_from_hex():
     assert colour_from_hex(0x000000) == (0.0, 0.0, 0.0, 1.0)
     r, g, b, a = colour_from_hex(0x7FFFD4, compat=False)
     assert abs(r - 127 / 255) < 1e-6
+
+
+def test_rgba_argb_literals():
+    from rt_tpu.colour import colour_from_argb_hex, colour_from_rgba_hex
+
+    # _rgba UDL: 0xRRGGBBAA (colour.hpp:158-162)
+    assert colour_from_rgba_hex(0xFF000080, compat=False) == pytest.approx(
+        (1.0, 0.0, 0.0, 128 / 255)
+    )
+    # _argb UDL: 0xAARRGGBB rotated into RGBA (colour.hpp:171-176)
+    assert colour_from_argb_hex(0x80FF0000, compat=False) == pytest.approx(
+        (1.0, 0.0, 0.0, 128 / 255)
+    )
+    # compat binarization applies to literals too
+    assert colour_from_rgba_hex(0xAA00AAFF) == (1.0, 0.0, 1.0, 1.0)
