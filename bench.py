@@ -98,23 +98,59 @@ def main():
     params = diff.extract_params(scene)
     target = jnp.zeros((size[1], size[0], 3), jnp.float32)
 
-    @jax.jit
-    def fwd_bwd(params, key):
-        # autodiff beats replay-mode for small sphere tables (the (N,S)
-        # transpose replay avoids is tiny at S=8; replay pays a second
-        # forward); replay wins on the big procedural scenes.
-        return jax.value_and_grad(diff.image_loss)(
-            params, scene, target, size, key, spp=spp, max_bounces=max_bounces,
-            grad_mode="autodiff",
+    # Preferred pipeline: the fused Pallas forward+backward kernel
+    # (rt_tpu.ops.pallas_grad).  Falls back to the jnp autodiff path on
+    # scenes it can't handle or off-TPU.
+    use_fused = False
+    try:
+        from rt_tpu.ops.pallas_grad import (
+            pallas_grad_supported,
+            pallas_mse_loss_and_grad,
         )
 
-    # compile + warm-up
-    loss, grads = fwd_bwd(params, key)
-    jax.block_until_ready(grads)
+        use_fused = (
+            pallas_grad_supported(scene)
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+    except Exception:
+        use_fused = False
+
+    def make_jnp_fwd_bwd():
+        @jax.jit
+        def _fwd_bwd_jnp(params, key):
+            # autodiff beats replay-mode for small sphere tables (the (N,S)
+            # transpose replay avoids is tiny at S=8; replay pays a second
+            # forward); replay wins on the big procedural scenes.
+            return jax.value_and_grad(diff.image_loss)(
+                params, scene, target, size, key, spp=spp,
+                max_bounces=max_bounces, grad_mode="autodiff",
+            )
+
+        return lambda params, i: _fwd_bwd_jnp(params, rt_tpu.rng.fold(key, i))
+
+    if use_fused:
+        def fwd_bwd(params, i):
+            return pallas_mse_loss_and_grad(
+                params, scene, target, size, seed=i,
+                spp=spp, max_bounces=max_bounces,
+            )
+    else:
+        fwd_bwd = make_jnp_fwd_bwd()
+
+    # compile + warm-up (fall back to the jnp pipeline on any fused failure)
+    try:
+        loss, grads = fwd_bwd(params, 0)
+        jax.block_until_ready(grads)
+    except Exception:
+        if not use_fused:
+            raise
+        fwd_bwd = make_jnp_fwd_bwd()
+        loss, grads = fwd_bwd(params, 0)
+        jax.block_until_ready(grads)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        loss, grads = fwd_bwd(params, rt_tpu.rng.fold(key, i))
+        loss, grads = fwd_bwd(params, i)
     jax.block_until_ready(grads)
     secs = (time.perf_counter() - t0) / iters
     mrays = size[0] * size[1] * spp / secs / 1e6

@@ -16,10 +16,12 @@ which would poison gradients of black pixels.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import rng as _rng
 from .integrator import render_image
@@ -128,45 +130,101 @@ def pallas_loss_and_grad(
     """
     import jax.numpy as jnp
 
-    from .replay import PathRecords, replay_radiance
-    from .camera import generate_rays
-    from .integrator import _pixel_grid
-    from .ops.pallas_render import records_to_flat, render_record_pallas
+    from .ops.pallas_render import _flatten_primitives
 
     w, h = size
-    n = w * h
     concrete = apply_params(scene, jax.tree_util.tree_map(
         lambda x: jnp.asarray(x), params))
-    # records at the current parameter point (host-side, not traced)
-    rec_sets = []
-    for s in range(spp):
-        _, raw = render_record_pallas(
-            concrete, size, seed=seed * 100003 + s,
-            personality=personality, max_bounces=max_bounces,
-            rng_mode=rng_mode, center_sample=(s == 0),
-        )
-        rec_sets.append(records_to_flat(raw, n, max_bounces))
+    s_cols, p_cols = _flatten_primitives(concrete, personality)
+    run = _records_pipeline(
+        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
+        _scene_static_key(scene),
+        width=w, height=h, spp=spp, max_bounces=max_bounces,
+        personality=personality, rng_mode=rng_mode,
+    )
+    seeds = jnp.asarray([seed * 100003 + s for s in range(spp)], jnp.int32)
+    return run(params, scene, jnp.asarray(target), seeds)
 
-    grid = _pixel_grid(size)
-    target = jnp.asarray(target)
 
-    def loss_fn(p):
-        sc = apply_params(scene, p)
-        acc = jnp.zeros((n, 3), jnp.float32)
-        for rec in rec_sets:
-            o, d = generate_rays(sc.camera, size, grid + rec["jitter"])
-            pr = PathRecords(
-                kind=rec["kind"], idx=rec["idx"], root_lo=rec["root_lo"],
-                live_in=rec["live_in"], miss=rec["miss"],
-                alive_out=rec["alive_out"], reflect_bit=rec["reflect_bit"],
-                lam_deg=rec["lam_deg"],
-            )
-            acc = acc + replay_radiance(
-                sc, o, d, None, pr,
-                personality=personality, max_bounces=max_bounces,
-                draws=(rec["ur"], rec["coin"]),
-            )
-        img = (acc / spp).reshape(h, w, 3)
-        return jnp.mean((img - target) ** 2)
+def _scene_static_key(scene):
+    """Hashable key capturing the pytree structure of a scene (so the cached
+    jitted pipeline isn't reused across incompatible scenes)."""
+    return (
+        scene.spheres.center.shape, scene.planes.normal.shape,
+        scene.materials.albedo.shape, scene.spheres.count,
+        scene.planes.count, scene.materials.count,
+    )
 
-    return jax.value_and_grad(loss_fn)(params)
+
+@functools.lru_cache(maxsize=8)
+def _records_pipeline(scene_bytes, shapes, static_key, *, width, height, spp,
+                      max_bounces, personality, rng_mode):
+    """Jitted end-to-end records pipeline: record kernels (baked constants) +
+    differentiable replay + MSE value_and_grad in ONE dispatch."""
+    import jax.numpy as jnp
+
+    from .camera import generate_rays
+    from .integrator import _pixel_grid
+    from .ops.pallas_render import _compiled_record
+    from .replay import PathRecords, replay_radiance
+
+    w, h = width, height
+    n = w * h
+    rows = 16
+
+    rec_calls = [
+        _compiled_record(scene_bytes, shapes, width=w, height=h,
+                         max_bounces=max_bounces, rows=rows,
+                         rng_mode=rng_mode, center_sample=(s == 0))
+        for s in range(min(spp, 2))
+    ]
+    grid = _pixel_grid((w, h))
+
+    def _flat_records(raw):
+        from .ops.pallas_render import records_to_flat
+
+        return records_to_flat(raw, n, max_bounces)
+
+    @jax.jit
+    def run(params, scene, target, seeds):
+        # record pass (non-differentiable pallas outputs; params reach the
+        # loss only through the replay below)
+        cam = jnp.concatenate([
+            jax.lax.stop_gradient(jnp.asarray(scene.camera.position, jnp.float32)),
+            jax.lax.stop_gradient(jnp.asarray(scene.camera.rotation, jnp.float32)).reshape(-1),
+            jnp.asarray([np.tan(scene.camera.vfov * 0.5), w / h,
+                         scene.camera.near, 0.0], jnp.float32),
+        ])
+        rec_sets = []
+        for s in range(spp):
+            call = rec_calls[0] if s == 0 else rec_calls[1 % len(rec_calls)]
+            out = call(cam, seeds[s:s + 1])
+            _, kind, idx, bits, urx, ury, urz, coin, jit_ = out
+            rec_sets.append(_flat_records({
+                "kind": kind, "idx": idx, "bits": bits,
+                "urx": urx, "ury": ury, "urz": urz, "coin": coin,
+                "jitter": jit_,
+            }))
+
+        def loss_fn(p):
+            sc = apply_params(scene, p)
+            acc = jnp.zeros((n, 3), jnp.float32)
+            for s, rec in enumerate(rec_sets):
+                o, d = generate_rays(sc.camera, (w, h), grid + rec["jitter"])
+                pr = PathRecords(
+                    kind=rec["kind"], idx=rec["idx"], root_lo=rec["root_lo"],
+                    live_in=rec["live_in"], miss=rec["miss"],
+                    alive_out=rec["alive_out"], reflect_bit=rec["reflect_bit"],
+                    lam_deg=rec["lam_deg"],
+                )
+                acc = acc + replay_radiance(
+                    sc, o, d, None, pr,
+                    personality=personality, max_bounces=max_bounces,
+                    draws=(rec["ur"], rec["coin"]),
+                )
+            img = (acc / spp).reshape(h, w, 3)
+            return jnp.mean((img - target) ** 2)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    return run

@@ -1,0 +1,616 @@
+"""Fused Pallas forward+backward: scene-parameter gradients in one kernel.
+
+The jnp backward (even replay-mode) round-trips per-bounce residuals through
+HBM and pays XLA's scan-transpose overhead — ~45 ms per 480k-ray sample on
+v5e-1 where the Pallas forward runs in ~0.7 ms.  This kernel runs the whole
+chain on-chip: forward pass stashing per-bounce states in VMEM, then a
+reverse sweep over bounces computing the adjoints, with per-primitive
+parameter gradients reduced inside the kernel.
+
+Mechanics:
+
+* One kernel call = one sample (the spp loop + MSE plumbing live in
+  :func:`pallas_mse_loss_and_grad`); the pixel cotangent arrives as an
+  input block, so any image loss works.
+* Each bounce's smooth map ``(o, d, thr, payload) -> (o', d', thr',
+  radiance-contribution)`` is differentiated with **jax.vjp inside the
+  kernel trace** — the transpose is plain elementwise code that Mosaic
+  lowers like the forward.  Discrete decisions (winner identity, coin,
+  masks) are closed over as constants, which reproduces exactly the
+  detached-sampling gradient of rt_tpu.replay.
+* Payload cotangents (the winner's centre/radius/normal/material values)
+  are turned into per-primitive gradients by masked tile reductions over
+  the winner index — the unrolled-constant analogue of the one-hot-matmul
+  transpose.
+* Camera gradients flow through a vjp of the in-kernel raygen.
+
+Same constraints as the forward megakernel: primitives baked as constants
+(recompile on scene change, cached by content), moderate primitive counts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_render import (
+    MAX_UNROLL_PRIMS,
+    _flatten_primitives,
+    _u01,
+    pallas_supported,
+    render_forward_pallas,
+)
+
+__all__ = ["pallas_mse_loss_and_grad", "pallas_grad_supported"]
+
+_BIG = 3.0e38
+_MIN_HIT = 0.001
+MAX_GRAD_PRIMS = 96  # in-kernel masked reductions are O(S*B) — cap it
+
+
+def pallas_grad_supported(scene) -> bool:
+    return (
+        pallas_supported(scene)
+        and scene.spheres.count + scene.planes.count <= MAX_GRAD_PRIMS
+    )
+
+
+def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
+                      rng_mode, center_sample):
+    n_spheres = s_cols.shape[1]
+    n_planes = p_cols.shape[1]
+    f32 = jnp.float32
+    S_pad = max(n_spheres, 1)
+    P_pad = max(n_planes, 1)
+
+    def kernel(cam_ref, seed_ref, cot_ref, sg_ref, pg_ref, cg_ref):
+        tile = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(1000003))
+
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        idx = (tile * rows + lane_r) * 128 + lane_c
+        px = (idx % width).astype(f32)
+        py = (idx // width).astype(f32)
+        in_image = (idx < width * height)
+
+        cam = [cam_ref[i] for i in range(15)]
+        zero = jnp.zeros((rows, 128), f32)
+        one = jnp.ones((rows, 128), f32)
+
+        # pixel cotangent (zero outside the image)
+        cot = [jnp.where(in_image, cot_ref[0, c], 0.0) for c in range(3)]
+
+        # ---------------- raygen (as a vjp-able function) -----------------
+        u = _u01((rows, 128))
+        v = _u01((rows, 128))
+        if center_sample:
+            jx = jnp.full((rows, 128), f32(0.5))
+            jy = jnp.full((rows, 128), f32(0.5))
+        else:
+            jx, jy = u, v
+
+        def raygen(cam_v):
+            cpx, cpy, cpz = cam_v[0], cam_v[1], cam_v[2]
+            r = cam_v[3:12]
+            tan_half, aspect, near = cam_v[12], cam_v[13], cam_v[14]
+            nx_ = 2.0 * (px + jx) * f32(1.0 / width) - 1.0
+            ny_ = 1.0 - 2.0 * (py + jy) * f32(1.0 / height)
+            dvx = nx_ * tan_half * aspect
+            dvy = ny_ * tan_half
+            dwx = r[0] * dvx + r[1] * dvy - r[2]
+            dwy = r[3] * dvx + r[4] * dvy - r[5]
+            dwz = r[6] * dvx + r[7] * dvy - r[8]
+            ox = cpx + dwx * near
+            oy = cpy + dwy * near
+            oz = cpz + dwz * near
+            inv = jax.lax.rsqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+            return (ox, oy, oz, dwx * inv, dwy * inv, dwz * inv)
+
+        rays, raygen_vjp = jax.vjp(raygen, tuple(cam))
+        ox, oy, oz, dx, dy, dz = rays
+
+        # ---------------- forward sweep with stashes ----------------------
+        tr = one
+        tg = one
+        tb = one
+        live = one
+        stash = []  # per bounce: dict of everything the reverse sweep needs
+
+        for b in range(max_bounces):
+            lv = live > 0.0
+
+            best_t = jnp.full((rows, 128), f32(_BIG))
+            bcx = bcy = bcz = zero
+            brad = one
+            bpnx = bpny = bpnz = zero
+            bpdd = zero
+            bar = bag = bab = zero
+            brf = one
+            brg = zero
+            bcl = zero
+            bpl = zero
+            bidx = zero
+            broot = one
+
+            for p in range(n_planes):
+                pnx, pny, pnz, pdd = (float(p_cols[i, p]) for i in range(4))
+                nd = pnx * dx + pny * dy + pnz * dz
+                no = pnx * ox + pny * oy + pnz * oz + pdd
+                safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
+                t = -no / safe
+                ok = (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT) & (t < best_t)
+                best_t = jnp.where(ok, t, best_t)
+                bpnx = jnp.where(ok, pnx, bpnx)
+                bpny = jnp.where(ok, pny, bpny)
+                bpnz = jnp.where(ok, pnz, bpnz)
+                bpdd = jnp.where(ok, pdd, bpdd)
+                bar = jnp.where(ok, float(p_cols[4, p]), bar)
+                bag = jnp.where(ok, float(p_cols[5, p]), bag)
+                bab = jnp.where(ok, float(p_cols[6, p]), bab)
+                brf = jnp.where(ok, float(p_cols[7, p]), brf)
+                brg = jnp.where(ok, float(p_cols[8, p]), brg)
+                bcl = jnp.where(ok, float(p_cols[9, p]), bcl)
+                bpl = jnp.where(ok, f32(1.0), bpl)
+                bidx = jnp.where(ok, f32(p), bidx)
+
+            for si in range(n_spheres):
+                cx, cy, cz, rad = (float(s_cols[i, si]) for i in range(4))
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                bq = ocx * dx + ocy * dy + ocz * dz
+                c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                disc = bq * bq - c0
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0 = -bq - sq
+                t1 = -bq + sq
+                t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+                ok = (disc >= 0.0) & (t >= _MIN_HIT) & (
+                    (t < best_t) | ((t == best_t) & (bpl > 0.0))
+                )
+                best_t = jnp.where(ok, t, best_t)
+                bcx = jnp.where(ok, cx, bcx)
+                bcy = jnp.where(ok, cy, bcy)
+                bcz = jnp.where(ok, cz, bcz)
+                brad = jnp.where(ok, rad, brad)
+                bar = jnp.where(ok, float(s_cols[4, si]), bar)
+                bag = jnp.where(ok, float(s_cols[5, si]), bag)
+                bab = jnp.where(ok, float(s_cols[6, si]), bab)
+                brf = jnp.where(ok, float(s_cols[7, si]), brf)
+                brg = jnp.where(ok, float(s_cols[8, si]), brg)
+                bcl = jnp.where(ok, float(s_cols[9, si]), bcl)
+                bpl = jnp.where(ok, f32(0.0), bpl)
+                bidx = jnp.where(ok, f32(si), bidx)
+                broot = jnp.where(ok, (t0 >= _MIN_HIT).astype(f32), broot)
+
+            hit = best_t < f32(1e37)
+            live_h = lv & hit
+
+            ux = _u01((rows, 128))
+            uy = _u01((rows, 128))
+            uz = _u01((rows, 128))
+            if rng_mode == "sphere":
+                ux = 2.0 * ux - 1.0
+                uy = 2.0 * uy - 1.0
+                uz = 2.0 * uz - 1.0
+            uinv = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
+            ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
+            coin = _u01((rows, 128))
+
+            # decision bits (computed from the *forward* values; pinned for
+            # the smooth map below) — same math as the render kernel
+            t_safe = jnp.where(hit, best_t, 0.0)
+            hx = ox + t_safe * dx
+            hy = oy + t_safe * dy
+            hz = oz + t_safe * dz
+            snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+            sinv = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+            ispl = bpl > 0.0
+            nx = jnp.where(ispl, bpnx, snx * sinv)
+            ny = jnp.where(ispl, bpny, sny * sinv)
+            nz = jnp.where(ispl, bpnz, snz * sinv)
+            lxr, lyr, lzr = nx + ux, ny + uy, nz + uz
+            ldeg = (lxr * lxr + lyr * lyr + lzr * lzr) < 1e-16
+            ddot = dx * nx + dy * ny + dz * nz
+            mxr = (dx - 2.0 * ddot * nx) + brg * ux
+            myr = (dy - 2.0 * ddot * ny) + brg * uy
+            mzr = (dz - 2.0 * ddot * nz) + brg * uz
+            mabs = (mxr * nx + myr * ny + mzr * nz) <= 0.0
+            inside = ddot > 0.0
+            eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+            cosine = jnp.where(inside, brf * ddot, -ddot)
+            cos_i = jnp.where(inside, ddot, -ddot)
+            sin2 = eta * eta * (1.0 - cos_i * cos_i)
+            tir = sin2 > 1.0
+            r0_ = (1.0 - brf) / (1.0 + brf)
+            r0_ = r0_ * r0_
+            omc = 1.0 - cosine
+            omc2 = omc * omc
+            prob = jnp.where(tir, 1.0, r0_ + (1.0 - r0_) * omc2 * omc2 * omc)
+            refl_bit = coin < prob
+
+            is_met = bcl == 1.0
+            is_die = bcl == 2.0
+            alive = live_h & ~(is_met & mabs)
+            miss = lv & ~hit
+
+            stash.append(dict(
+                o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
+                pay=(bcx, bcy, bcz, brad, bpnx, bpny, bpnz, bpdd,
+                     bar, bag, bab, brf, brg),
+                u=(ux, uy, uz),
+                bits=dict(hit=hit, live_h=live_h, miss=miss, alive=alive,
+                          ispl=ispl, root=broot > 0.0, ldeg=ldeg,
+                          mabs=mabs, refl_bit=refl_bit, tir=tir,
+                          inside=inside, is_met=is_met, is_die=is_die),
+                bidx=bidx, bpl=bpl, t_best=best_t,
+            ))
+
+            # forward state update (same math as the smooth map below)
+            o_n, d_n, thr_n, _ = _bounce_smooth(
+                (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
+                stash[-1]["pay"], stash[-1]["u"], stash[-1]["bits"],
+            )
+            ox, oy, oz = o_n
+            dx, dy, dz = d_n
+            tr, tg, tb = thr_n
+            live = alive.astype(f32)
+
+        # ---------------- reverse sweep -----------------------------------
+        co = [zero, zero, zero]   # cotangent of o
+        cd = [zero, zero, zero]   # cotangent of d
+        ct = [zero, zero, zero]   # cotangent of thr
+
+        sgrad = [[f32(0.0)] * S_pad for _ in range(9)]
+        pgrad = [[f32(0.0)] * P_pad for _ in range(9)]
+
+        for b in reversed(range(max_bounces)):
+            st = stash[b]
+
+            def fb(o3, d3, thr3, pay):
+                return _bounce_smooth(o3, d3, thr3, pay, st["u"], st["bits"])
+
+            primals = (st["o"], st["d"], st["thr"], st["pay"])
+            _, fvjp = jax.vjp(fb, *primals)
+            cots = fvjp(((co[0], co[1], co[2]), (cd[0], cd[1], cd[2]),
+                         (ct[0], ct[1], ct[2]), (cot[0], cot[1], cot[2])))
+            (co_p, cd_p, ct_p, pay_cot) = cots
+            co = list(co_p)
+            cd = list(cd_p)
+            ct = list(ct_p)
+
+            # payload cotangents -> per-primitive slots
+            is_sph = ~(st["bpl"] > 0.0)
+            for si in range(n_spheres):
+                m = (st["bidx"] == f32(si)) & is_sph & st["bits"]["live_h"]
+                mf = m.astype(f32)
+                for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
+                    # map payload index -> grad row:
+                    # rows: cx,cy,cz,r, alb_r,alb_g,alb_b, refl, rough
+                    sgrad[k][si] = sgrad[k][si] + jnp.sum(mf * pay_cot[cslot])
+            for p in range(n_planes):
+                m = (st["bidx"] == f32(p)) & (st["bpl"] > 0.0) & st["bits"]["live_h"]
+                mf = m.astype(f32)
+                for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
+                    # rows: nx,ny,nz,d, alb_r,alb_g,alb_b, refl, rough
+                    pgrad[k][p] = pgrad[k][p] + jnp.sum(mf * pay_cot[cslot])
+
+        # camera cotangent via the raygen vjp (per-tile output; summed by the
+        # caller — the serial grid would otherwise need in-place accumulation,
+        # which the Mosaic pipeline handles poorly)
+        (cam_cot,) = raygen_vjp((co[0], co[1], co[2], cd[0], cd[1], cd[2]))
+        for i in range(15):
+            cg_ref[0, 0, i] = cam_cot[i]
+        cg_ref[0, 0, 15] = f32(0.0)
+
+        for k in range(9):
+            for si in range(S_pad):
+                sg_ref[0, k, si] = sgrad[k][si] if n_spheres else f32(0.0)
+            for p in range(P_pad):
+                pg_ref[0, k, p] = pgrad[k][p] if n_planes else f32(0.0)
+
+    return kernel
+
+
+def _bounce_smooth(o3, d3, thr3, pay, u3, bits):
+    """The smooth per-bounce map with all discrete decisions pinned.
+
+    Returns (o', d', thr', radiance_contribution).  Used both to advance the
+    forward state and (under jax.vjp) for the reverse sweep — keeping one
+    definition guarantees the adjoint matches the primal.
+    """
+    f32 = jnp.float32
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    tr, tg, tb = thr3
+    (bcx, bcy, bcz, brad, bpnx, bpny, bpnz, bpdd,
+     bar, bag, bab, brf, brg) = pay
+    ux, uy, uz = u3
+
+    hit = bits["hit"]
+    live_h = bits["live_h"]
+    miss = bits["miss"]
+    alive = bits["alive"]
+    ispl = bits["ispl"]
+    root_lo = bits["root"]
+    ldeg = bits["ldeg"]
+    refl_bit = bits["refl_bit"]
+    tir = bits["tir"]
+    inside = bits["inside"]
+    is_met = bits["is_met"]
+    is_die = bits["is_die"]
+
+    # --- differentiable t for the pinned winner ---------------------------
+    ocx, ocy, ocz = ox - bcx, oy - bcy, oz - bcz
+    bq = ocx * dx + ocy * dy + ocz * dz
+    c0 = ocx * ocx + ocy * ocy + ocz * ocz - brad * brad
+    disc = bq * bq - c0
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+    t_s = jnp.where(root_lo, -bq - sq, -bq + sq)
+    ndd = bpnx * dx + bpny * dy + bpnz * dz
+    safe = jnp.where(jnp.abs(ndd) > 1e-12, ndd, f32(1.0))
+    t_p = -(bpnx * ox + bpny * oy + bpnz * oz + bpdd) / safe
+    t = jnp.where(ispl, t_p, t_s)
+    t = jnp.where(hit, t, 0.0)
+
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+    sinv = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+    nx = jnp.where(ispl, bpnx, snx * sinv)
+    ny = jnp.where(ispl, bpny, sny * sinv)
+    nz = jnp.where(ispl, bpnz, snz * sinv)
+
+    # --- sky contribution on miss ----------------------------------------
+    ts_ = 0.5 * (dy + 1.0)
+    mf = miss.astype(f32)
+    rad0 = mf * tr * (1.0 - 0.5 * ts_)
+    rad1 = mf * tg * (1.0 - 0.3 * ts_)
+    rad2 = mf * tb
+
+    # --- scatter (decisions pinned) --------------------------------------
+    lxr, lyr, lzr = nx + ux, ny + uy, nz + uz
+    ln2 = lxr * lxr + lyr * lyr + lzr * lzr
+    linv = jax.lax.rsqrt(jnp.where(ldeg, 1.0, jnp.maximum(ln2, 1e-30)))
+    lx = jnp.where(ldeg, nx, lxr * linv)
+    ly = jnp.where(ldeg, ny, lyr * linv)
+    lz = jnp.where(ldeg, nz, lzr * linv)
+
+    ddot = dx * nx + dy * ny + dz * nz
+    rx = dx - 2.0 * ddot * nx
+    ry = dy - 2.0 * ddot * ny
+    rz = dz - 2.0 * ddot * nz
+    mx = rx + brg * ux
+    my = ry + brg * uy
+    mz = rz + brg * uz
+    minv = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
+    mx, my, mz = mx * minv, my * minv, mz * minv
+
+    sgn = jnp.where(inside, f32(-1.0), f32(1.0))
+    onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
+    eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+    cos_i = jnp.where(inside, ddot, -ddot)
+    sin2 = eta * eta * (1.0 - cos_i * cos_i)
+    cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin2, 1e-12)))
+    cos_t = jnp.where(tir, 0.0, cos_t)
+    fxx = eta * dx + (eta * cos_i - cos_t) * onx
+    fyy = eta * dy + (eta * cos_i - cos_t) * ony
+    fzz = eta * dz + (eta * cos_i - cos_t) * onz
+    gx = jnp.where(refl_bit, rx, fxx)
+    gy = jnp.where(refl_bit, ry, fyy)
+    gz = jnp.where(refl_bit, rz, fzz)
+    ginv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+    gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
+
+    ndx = jnp.where(is_met, mx, lx)
+    ndy = jnp.where(is_met, my, ly)
+    ndz = jnp.where(is_met, mz, lz)
+    ndx = jnp.where(is_die, gx, ndx)
+    ndy = jnp.where(is_die, gy, ndy)
+    ndz = jnp.where(is_die, gz, ndz)
+
+    af = alive.astype(f32)
+    naf = 1.0 - af
+    tr_n = tr * (naf + af * bar * brf)
+    tg_n = tg * (naf + af * bag * brf)
+    tb_n = tb * (naf + af * bab * brf)
+
+    lh = live_h.astype(f32)
+    nlh = 1.0 - lh
+    o_n = (nlh * ox + lh * hx, nlh * oy + lh * hy, nlh * oz + lh * hz)
+    d_n = (nlh * dx + lh * ndx, nlh * dy + lh * ndy, nlh * dz + lh * ndz)
+    return o_n, d_n, (tr_n, tg_n, tb_n), (rad0, rad1, rad2)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_grad(scene_bytes, shapes, *, width, height, max_bounces, rows,
+                   rng_mode, center_sample):
+    s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
+    p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
+    kernel = _make_grad_kernel(
+        s_cols, p_cols, width=width, height=height, max_bounces=max_bounces,
+        rows=rows, rng_mode=rng_mode, center_sample=center_sample,
+    )
+    n = width * height
+    n_tiles = -(-n // (rows * 128))
+    S_pad = max(s_cols.shape[1], 1)
+    P_pad = max(p_cols.shape[1], 1)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 3, rows, 128), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 9, S_pad), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 9, P_pad), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 16), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, 9, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 9, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, 16), jnp.float32),
+        ),
+    )
+    return call
+
+
+def pallas_mse_loss_and_grad(
+    params,
+    scene,
+    target,
+    size: tuple[int, int],
+    seed: int = 0,
+    *,
+    spp: int = 4,
+    max_bounces: Optional[int] = None,
+    personality: str = "mg",
+    rows: int = 8,
+    rng_mode: str = "reference",
+):
+    """MSE loss + scene-parameter gradients, everything on-chip.
+
+    Forward: the render megakernel (pre-gamma mean over spp).  Backward: the
+    fused grad kernel per sample, fed the pixel cotangent
+    d(MSE)/d(img) = 2 (img - target) / (3 W H).
+
+    Same constraints as the megakernel (baked constants: recompiles when
+    scene geometry/material values change; camera/seed dynamic).  Returns
+    (loss, grads) with grads keyed like rt_tpu.diff.extract_params
+    (camera.rotation grads cover the 9 matrix entries; vfov/near are
+    treated as fixed).
+    """
+    from ..diff import apply_params
+
+    w, h = size
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    concrete = apply_params(scene, jax.tree_util.tree_map(jnp.asarray, params))
+    if not pallas_grad_supported(concrete):
+        raise ValueError("scene exceeds the fused grad kernel limits")
+
+    s_cols, p_cols = _flatten_primitives(concrete, personality)
+    run = _compiled_pipeline(
+        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
+        bytes(np.asarray(concrete.spheres.material, np.int32)[:concrete.spheres.count]),
+        bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
+        width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
+        rng_mode=rng_mode,
+        S_table=scene.spheres.center.shape[0],
+        M_table=scene.materials.albedo.shape[0],
+    )
+    cam = jnp.concatenate([
+        jnp.asarray(concrete.camera.position, jnp.float32),
+        jnp.asarray(concrete.camera.rotation, jnp.float32).reshape(-1),
+        jnp.asarray([
+            np.tan(concrete.camera.vfov * 0.5), w / h, concrete.camera.near, 0.0
+        ], jnp.float32),
+    ])
+    seeds = jnp.asarray([seed * 100003 + s for s in range(spp)], jnp.int32)
+    loss, grads = run(cam, seeds, jnp.asarray(target, jnp.float32))
+    return loss, grads
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_pipeline(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
+                       width, height, spp, max_bounces, rows, rng_mode,
+                       S_table, M_table):
+    """One jitted dispatch: forward frame + loss + per-sample grad kernels +
+    gradient assembly."""
+    from .pallas_render import _compiled
+
+    n = width * height
+    n_tiles = -(-n // (rows * 128))
+    pad = n_tiles * rows * 128 - n
+    s_mat = np.frombuffer(s_mat_bytes, np.int32)
+    p_mat = np.frombuffer(p_mat_bytes, np.int32)
+    ns = s_mat.shape[0]
+    npl = p_mat.shape[0]
+
+    fwd_calls = [
+        _compiled(scene_bytes, shapes, spp_unroll=1, rng_mode=rng_mode,
+                  center_sample=(s == 0), width=width, height=height,
+                  max_bounces=max_bounces, rows=rows)
+        for s in range(min(spp, 2))
+    ]
+    grad_calls = [
+        _compiled_grad(scene_bytes, shapes, width=width, height=height,
+                       max_bounces=max_bounces, rows=rows, rng_mode=rng_mode,
+                       center_sample=(s == 0))
+        for s in range(min(spp, 2))
+    ]
+
+    @jax.jit
+    def run(cam, seeds, target):
+        total = None
+        for s in range(spp):
+            call = fwd_calls[0] if s == 0 else fwd_calls[1 % len(fwd_calls)]
+            out = call(cam, seeds[s:s + 1])
+            total = out if total is None else total + out
+        img_blocks = total * jnp.float32(1.0 / spp)
+        img = img_blocks.transpose(0, 2, 3, 1).reshape(-1, 3)[:n]
+        target_flat = target.reshape(n, 3)
+        diff_img = img - target_flat
+        loss = jnp.mean(diff_img ** 2)
+        cot = 2.0 * diff_img / (3.0 * n * spp)
+        cot_blocks = jnp.pad(cot, ((0, pad), (0, 0))).reshape(
+            n_tiles, rows, 128, 3).transpose(0, 3, 1, 2)
+
+        sg_total = pg_total = cg_total = None
+        for s in range(spp):
+            gcall = grad_calls[0] if s == 0 else grad_calls[1 % len(grad_calls)]
+            sg, pg, cg = gcall(cam, seeds[s:s + 1], cot_blocks)
+            sg = sg.sum(axis=0)
+            pg = pg.sum(axis=0)
+            cg = cg.sum(axis=(0, 1))
+            sg_total = sg if sg_total is None else sg_total + sg
+            pg_total = pg if pg_total is None else pg_total + pg
+            cg_total = cg if cg_total is None else cg_total + cg
+
+        g_center = jnp.zeros((S_table, 3), jnp.float32)
+        g_radius = jnp.zeros((S_table,), jnp.float32)
+        if ns:
+            g_center = g_center.at[:ns].set(sg_total[0:3, :ns].T)
+            g_radius = g_radius.at[:ns].set(sg_total[3, :ns])
+
+        g_alb = jnp.zeros((M_table, 4), jnp.float32)
+        g_refl = jnp.zeros((M_table,), jnp.float32)
+        g_rough = jnp.zeros((M_table,), jnp.float32)
+        if ns:
+            g_alb = g_alb.at[s_mat, 0].add(sg_total[4, :ns])
+            g_alb = g_alb.at[s_mat, 1].add(sg_total[5, :ns])
+            g_alb = g_alb.at[s_mat, 2].add(sg_total[6, :ns])
+            g_refl = g_refl.at[s_mat].add(sg_total[7, :ns])
+            g_rough = g_rough.at[s_mat].add(sg_total[8, :ns])
+        if npl:
+            g_alb = g_alb.at[p_mat, 0].add(pg_total[4, :npl])
+            g_alb = g_alb.at[p_mat, 1].add(pg_total[5, :npl])
+            g_alb = g_alb.at[p_mat, 2].add(pg_total[6, :npl])
+            g_refl = g_refl.at[p_mat].add(pg_total[7, :npl])
+            g_rough = g_rough.at[p_mat].add(pg_total[8, :npl])
+
+        grads = {
+            "spheres.center": g_center,
+            "spheres.radius": g_radius,
+            "materials.albedo": g_alb,
+            "materials.roughness": g_rough,
+            "materials.reflectivity": g_refl,
+            "camera.position": cg_total[0:3],
+            "camera.rotation": cg_total[3:12].reshape(3, 3),
+        }
+        return loss, grads
+
+    return run

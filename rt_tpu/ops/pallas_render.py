@@ -384,6 +384,42 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
     return kernel
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_frame(scene_bytes, shapes, *, width, height, spp, spp_unroll,
+                    max_bounces, rows, rng_mode, gamma, center_first):
+    """End-to-end jitted frame renderer: all sample-chunk kernels + mean +
+    gamma + crop/reshape fused into ONE dispatch (eager chaining costs
+    ~10-15 ms per op through the remote tunnel)."""
+    chunk_sizes = []
+    remaining = spp
+    while remaining > 0:
+        k = min(spp_unroll, remaining)
+        chunk_sizes.append(k)
+        remaining -= k
+    calls = [
+        _compiled(scene_bytes, shapes, spp_unroll=k, rng_mode=rng_mode,
+                  center_sample=(i == 0 and center_first),
+                  width=width, height=height, max_bounces=max_bounces,
+                  rows=rows)
+        for i, k in enumerate(chunk_sizes)
+    ]
+    n = width * height
+
+    @jax.jit
+    def run(cam, seeds):
+        total = None
+        for ci, call in enumerate(calls):
+            out = call(cam, seeds[ci:ci + 1])
+            total = out if total is None else total + out
+        img = total * jnp.float32(1.0 / spp)
+        if gamma:
+            img = jnp.sqrt(jnp.maximum(img, 0.0))
+        flat = img.transpose(0, 2, 3, 1).reshape(-1, 3)
+        return flat[:n].reshape(height, width, 3)
+
+    return run, len(chunk_sizes)
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled(scene_bytes, shapes, *, width, height, spp_unroll,
               max_bounces, rows, rng_mode, center_sample):
@@ -530,6 +566,7 @@ def render_forward_pallas(
     spp_unroll: int = 4,
     gamma: bool = True,
     rng_mode: str = "reference",
+    center_sample: Optional[bool] = None,
     **_unused,
 ) -> jax.Array:
     """Render a full frame with the TPU megakernel.  Returns (H, W, 3) f32.
@@ -550,10 +587,12 @@ def render_forward_pallas(
     spp_unroll = min(spp_unroll, spp)
 
     s_cols, p_cols = _flatten_primitives(scene, personality)
-    sb = (s_cols.tobytes(), p_cols.tobytes())
-    shp = (s_cols.shape, p_cols.shape)
-    common = dict(width=w, height=h, max_bounces=max_bounces, rows=rows,
-                  rng_mode=rng_mode)
+    run, n_chunks = _compiled_frame(
+        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
+        width=w, height=h, spp=spp, spp_unroll=spp_unroll,
+        max_bounces=max_bounces, rows=rows, rng_mode=rng_mode, gamma=gamma,
+        center_first=(True if center_sample is None else center_sample),
+    )
 
     cam = jnp.concatenate([
         jnp.asarray(scene.camera.position, jnp.float32),
@@ -562,27 +601,9 @@ def render_forward_pallas(
             np.tan(scene.camera.vfov * 0.5), w / h, scene.camera.near, 0.0
         ], jnp.float32),
     ])
-
-    # chunk the sample count: first chunk pins sample 0 to the pixel centre
-    chunks = []
-    remaining = spp
-    first = True
+    seeds = []
     chunk_seed = seed
-    while remaining > 0:
-        k = min(spp_unroll, remaining)
-        fn = _compiled(sb, shp, spp_unroll=k, center_sample=first, **common)
-        chunks.append(fn(cam, jnp.asarray([chunk_seed], jnp.int32)))
-        remaining -= k
-        first = False
+    for _ in range(n_chunks):
+        seeds.append(chunk_seed)
         chunk_seed = int((chunk_seed * 1103515245 + 12345) % (2**31 - 1))
-
-    total = chunks[0]
-    for c in chunks[1:]:
-        total = total + c
-    img = total * (1.0 / spp)
-    if gamma:
-        img = jnp.sqrt(jnp.maximum(img, 0.0))
-
-    n = w * h
-    flat = img.transpose(0, 2, 3, 1).reshape(-1, 3)
-    return flat[:n].reshape(h, w, 3)
+    return run(cam, jnp.asarray(seeds, jnp.int32))
