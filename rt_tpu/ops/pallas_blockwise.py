@@ -1,0 +1,553 @@
+"""Blockwise Pallas megakernel: large scenes with *dynamic* primitive tables.
+
+The unrolled megakernel (rt_tpu.ops.pallas_render) bakes every primitive
+into the instruction stream — unbeatable for small scenes, but compile time
+grows with bounces x primitives (capped at MAX_UNROLL_PRIMS = 640) and any
+geometry edit recompiles.  This kernel is the *sequence-parallel* analogue
+the survey calls for (SURVEY.md §2/§5: the reference's per-ray cost is a
+linear scan over all primitives, mg_ray_tracer.cpp:43-52, 70-79 — the
+structural twin of long-context attention): primitive tables are **runtime
+VMEM inputs** streamed through the closest-hit scan in blocks of 8 with a
+running argmin, so
+
+* scenes up to ``MAX_BLOCKWISE_PRIMS`` primitives run on-chip (BASELINE.json
+  configs 4 & 5: 500- and 5000-sphere procedural scenes);
+* geometry/material edits do NOT recompile — only the padded table bucket,
+  image size and bounce count are static (the interactive-editing win the
+  unrolled kernel gives up);
+* compile time is O(bounces), not O(bounces x primitives): the scan is a
+  ``fori_loop`` with a dynamic trip count read from SMEM.
+
+Layout (the part that makes it fast on TPU): each grid step owns 128 rays
+living on the **lane** axis — all per-ray state is (1, 128) and the scatter
+math is exactly the unrolled kernel's straight-line vector code.  Each scan
+step loads an (8, 16) block of the primitive table (8 primitives on the
+**sublane** axis, payload columns on lanes), intersects it against the ray
+tile by (8,1)x(1,128) broadcasting — a fully packed (8, 128) vector op per
+instruction — and folds the block winner into the running best via a
+cross-sublane min + first-row tie-break.  The winner's payload (centre,
+albedo, IOR, class...) is extracted with masked sublane reductions — the
+dynamic-table analogue of the one-hot contraction used by the jnp path
+(rt_tpu.ops.intersect._select_min), with the same no-gather rationale.
+
+Tie-breaking matches the reference (mg_ray_tracer.cpp:95-102): planes are
+scanned first with strict '<' (earliest index wins — blocks are visited in
+index order and rows within a block break ties by first row), then spheres
+win a plane tie but use strict '<' among themselves.
+
+RNG: ``rng_impl="hw"`` (default) uses the TPU hardware PRNG like the
+unrolled kernel; ``rng_impl="hash"`` is a portable lowbias32-style counter
+hash in pure int32 vector ops — bit-identical between Mosaic and pallas
+interpret mode, which is what lets the CPU test suite exercise this kernel
+end-to-end (tests/test_pallas_blockwise.py) without TPU hardware.
+
+Forward/serving only: gradients for big scenes use the jnp autodiff/replay
+paths (rt_tpu.diff / rt_tpu.replay).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_render import _flatten_primitives
+
+__all__ = [
+    "render_forward_blockwise",
+    "blockwise_supported",
+    "MAX_BLOCKWISE_PRIMS",
+]
+
+_BIG = 3.0e38
+_MIN_HIT = 0.001
+MAX_BLOCKWISE_PRIMS = 16384  # (N,16) f32 table = 1 MB VMEM at the cap
+_BLOCK = 8        # primitives per scan step (f32 sublane count)
+_LANES = 128      # rays per grid step
+_COLS = 16        # padded payload columns (10 used)
+
+
+def blockwise_supported(scene) -> bool:
+    """Whether the blockwise megakernel can handle this scene."""
+    return (
+        scene.spheres.count + scene.planes.count <= MAX_BLOCKWISE_PRIMS
+        and scene.boxes.count == 0  # the path tracers never hit boxes anyway
+    )
+
+
+def _bucket(n: int) -> int:
+    """Pad a primitive count to a reuse-friendly table height: at least 128,
+    then multiples of 512 (recompiles only when the bucket changes)."""
+    if n <= 128:
+        return 128
+    return -(-n // 512) * 512
+
+
+def _padded_table(cols: np.ndarray, bucket: int) -> np.ndarray:
+    """(10, count) column payload -> (bucket, 16) row-major table.  Padding
+    rows are all-zero; the kernel masks them by count, so their values never
+    matter."""
+    out = np.zeros((bucket, _COLS), np.float32)
+    out[: cols.shape[1], :10] = cols.T
+    return out
+
+
+def _hash_u01(pix, seed, ctr: int, shape):
+    """Portable counter-based U[0,1): lowbias32-style avalanche on int32
+    vectors (wrapping multiplies), then the top 24 bits.  Identical under
+    Mosaic and pallas interpret mode."""
+    i32 = jnp.int32
+    x = pix * i32(-1640531527) + seed * i32(97929) + i32(ctr * 30103 + 1)
+    x = jnp.broadcast_to(x, shape)
+    u = x.astype(jnp.uint32)
+    u = u ^ (u >> 16)
+    u = u * jnp.uint32(0x7FEB352D)
+    u = u ^ (u >> 15)
+    u = u * jnp.uint32(0x846CA68B)
+    u = u ^ (u >> 16)
+    top24 = jax.lax.bitcast_convert_type(u >> 8, i32)
+    return top24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def _hw_u01(shape):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
+                           max_bounces, rng_mode, rng_impl, center_sample,
+                           block=_BLOCK):
+    """Kernel body.  Refs: meta (SMEM scalars: seed, sphere count, plane
+    count), cam (SMEM scalars), sphere table (s_pad, 16) VMEM, plane table
+    (p_pad, 16) VMEM, out (1, 3, 128) VMEM block."""
+    f32 = jnp.float32
+    shape = (1, _LANES)
+
+    def kernel(meta_ref, cam_ref, sph_ref, pln_ref, out_ref):
+        tile = pl.program_id(0)
+        seed = meta_ref[0]
+        n_sph = meta_ref[1]
+        n_pln = meta_ref[2]
+        if rng_impl == "hw":
+            pltpu.prng_seed(seed + tile * jnp.int32(1000003))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        idx = tile * _LANES + lane
+        px = (idx % width).astype(f32)
+        py = (idx // width).astype(f32)
+
+        draw_ctr = [0]
+
+        def u01():
+            if rng_impl == "hw":
+                return _hw_u01(shape)
+            draw_ctr[0] += 1
+            return _hash_u01(idx, seed + tile * jnp.int32(0), draw_ctr[0], shape)
+
+        cpx, cpy, cpz = cam_ref[0], cam_ref[1], cam_ref[2]
+        r = [cam_ref[3 + i] for i in range(9)]
+        tan_half, aspect, near = cam_ref[12], cam_ref[13], cam_ref[14]
+
+        zero = jnp.zeros(shape, f32)
+        one = jnp.ones(shape, f32)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (block, _LANES), 0)
+        rowf = rowi.astype(f32)
+
+        acc = [zero, zero, zero]
+
+        for smp in range(spp_unroll):
+            # sample 0 at the pixel centre (mg_ray_tracer.cpp:189)
+            u = u01()
+            v = u01()
+            if smp == 0 and center_sample:
+                jx = jnp.full(shape, f32(0.5))
+                jy = jnp.full(shape, f32(0.5))
+            else:
+                jx, jy = u, v
+
+            nx_ = 2.0 * (px + jx) * f32(1.0 / width) - 1.0
+            ny_ = 1.0 - 2.0 * (py + jy) * f32(1.0 / height)
+            dvx = nx_ * tan_half * aspect
+            dvy = ny_ * tan_half
+            dwx = r[0] * dvx + r[1] * dvy - r[2]
+            dwy = r[3] * dvx + r[4] * dvy - r[5]
+            dwz = r[6] * dvx + r[7] * dvy - r[8]
+            ox = cpx + dwx * near
+            oy = cpy + dwy * near
+            oz = cpz + dwz * near
+            inv = jax.lax.rsqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+            dx, dy, dz = dwx * inv, dwy * inv, dwz * inv
+
+            tr = one
+            tg = one
+            tb = one
+            live = one
+
+            for b in range(max_bounces):
+                lv = live > 0.0
+
+                # ---- blockwise closest-hit scan --------------------------
+                # carry: best_t, payload slots, is-plane flag (all f32).
+                init = (
+                    jnp.full(shape, f32(_BIG)),  # 0 best_t
+                    zero, zero, zero,            # 1-3 sphere centre
+                    zero, zero, zero,            # 4-6 plane normal
+                    zero, zero, zero,            # 7-9 albedo rgb
+                    one, zero, zero,             # 10 refl, 11 rough, 12 cls
+                    zero,                        # 13 is-plane
+                )
+
+                def scan_planes(ib, carry):
+                    blk = pln_ref[pl.ds(ib * block, block), :]
+                    pnx = blk[:, 0:1]
+                    pny = blk[:, 1:2]
+                    pnz = blk[:, 2:3]
+                    pdd = blk[:, 3:4]
+                    nd = pnx * dx + pny * dy + pnz * dz
+                    no = pnx * ox + pny * oy + pnz * oz + pdd
+                    safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
+                    t = -no / safe
+                    valid = (ib * block + rowi) < n_pln
+                    ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
+                    t = jnp.where(ok, t, f32(_BIG))
+                    tmin = jnp.min(t, axis=0, keepdims=True)
+                    winrow = jnp.min(jnp.where(t == tmin, rowf, f32(1e9)),
+                                     axis=0, keepdims=True)
+                    msk = ((t == tmin) & (rowf == winrow)).astype(f32)
+
+                    best_t = carry[0]
+                    better = tmin < best_t  # strict: earliest index wins
+
+                    def pick(c):
+                        return jnp.sum(msk * blk[:, c:c + 1], axis=0,
+                                       keepdims=True)
+
+                    new = (
+                        jnp.where(better, tmin, best_t),
+                        carry[1], carry[2], carry[3],
+                        jnp.where(better, pick(0), carry[4]),
+                        jnp.where(better, pick(1), carry[5]),
+                        jnp.where(better, pick(2), carry[6]),
+                        jnp.where(better, pick(4), carry[7]),
+                        jnp.where(better, pick(5), carry[8]),
+                        jnp.where(better, pick(6), carry[9]),
+                        jnp.where(better, pick(7), carry[10]),
+                        jnp.where(better, pick(8), carry[11]),
+                        jnp.where(better, pick(9), carry[12]),
+                        jnp.where(better, one, carry[13]),
+                    )
+                    return new
+
+                def scan_spheres(ib, carry):
+                    blk = sph_ref[pl.ds(ib * block, block), :]
+                    cx = blk[:, 0:1]
+                    cy = blk[:, 1:2]
+                    cz = blk[:, 2:3]
+                    rad = blk[:, 3:4]
+                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                    bq = ocx * dx + ocy * dy + ocz * dz
+                    c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                    disc = bq * bq - c0
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    t0 = -bq - sq
+                    t1 = -bq + sq
+                    t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+                    valid = (ib * block + rowi) < n_sph
+                    ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
+                    t = jnp.where(ok, t, f32(_BIG))
+                    tmin = jnp.min(t, axis=0, keepdims=True)
+                    winrow = jnp.min(jnp.where(t == tmin, rowf, f32(1e9)),
+                                     axis=0, keepdims=True)
+                    msk = ((t == tmin) & (rowf == winrow)).astype(f32)
+
+                    best_t = carry[0]
+                    # spheres win a plane tie, strict '<' among themselves
+                    better = (tmin < best_t) | (
+                        (tmin == best_t) & (carry[13] > 0.0) & (tmin < f32(_BIG))
+                    )
+
+                    def pick(c):
+                        return jnp.sum(msk * blk[:, c:c + 1], axis=0,
+                                       keepdims=True)
+
+                    new = (
+                        jnp.where(better, tmin, best_t),
+                        jnp.where(better, pick(0), carry[1]),
+                        jnp.where(better, pick(1), carry[2]),
+                        jnp.where(better, pick(2), carry[3]),
+                        carry[4], carry[5], carry[6],
+                        jnp.where(better, pick(4), carry[7]),
+                        jnp.where(better, pick(5), carry[8]),
+                        jnp.where(better, pick(6), carry[9]),
+                        jnp.where(better, pick(7), carry[10]),
+                        jnp.where(better, pick(8), carry[11]),
+                        jnp.where(better, pick(9), carry[12]),
+                        jnp.where(better, zero, carry[13]),
+                    )
+                    return new
+
+                n_pblk = (n_pln + block - 1) // block
+                n_sblk = (n_sph + block - 1) // block
+                hitrec = jax.lax.fori_loop(0, n_pblk, scan_planes, init)
+                hitrec = jax.lax.fori_loop(0, n_sblk, scan_spheres, hitrec)
+
+                (best_t, bcx, bcy, bcz, bpnx, bpny, bpnz,
+                 bar, bag, bab, brf, brg, bcl, bpl) = hitrec
+
+                hit = best_t < f32(1e37)
+
+                # sky on miss (mg_ray_tracer.cpp:164)
+                ts_ = 0.5 * (dy + 1.0)
+                mf = (lv & ~hit).astype(f32)
+                acc[0] += mf * tr * (1.0 - 0.5 * ts_)
+                acc[1] += mf * tg * (1.0 - 0.3 * ts_)
+                acc[2] += mf * tb
+
+                live_h = lv & hit
+                t_safe = jnp.where(hit, best_t, 0.0)
+                hx = ox + t_safe * dx
+                hy = oy + t_safe * dy
+                hz = oz + t_safe * dz
+
+                snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+                sinv = jax.lax.rsqrt(
+                    jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+                ispl = bpl > 0.0
+                nx = jnp.where(ispl, bpnx, snx * sinv)
+                ny = jnp.where(ispl, bpny, sny * sinv)
+                nz = jnp.where(ispl, bpnz, snz * sinv)
+
+                ux = u01()
+                uy = u01()
+                uz = u01()
+                if rng_mode == "sphere":
+                    ux = 2.0 * ux - 1.0
+                    uy = 2.0 * uy - 1.0
+                    uz = 2.0 * uz - 1.0
+                uinv = jax.lax.rsqrt(
+                    jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
+                ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
+                coin = u01()
+
+                # lambert (mg_ray_tracer.cpp:109-123)
+                lx, ly, lz = nx + ux, ny + uy, nz + uz
+                ln2 = lx * lx + ly * ly + lz * lz
+                ldeg = ln2 < 1e-16
+                linv = jax.lax.rsqrt(jnp.where(ldeg, 1.0, ln2))
+                lx = jnp.where(ldeg, nx, lx * linv)
+                ly = jnp.where(ldeg, ny, ly * linv)
+                lz = jnp.where(ldeg, nz, lz * linv)
+
+                # metal (mg_ray_tracer.cpp:125-140)
+                dd = dx * nx + dy * ny + dz * nz
+                rx = dx - 2.0 * dd * nx
+                ry = dy - 2.0 * dd * ny
+                rz = dz - 2.0 * dd * nz
+                mx = rx + brg * ux
+                my = ry + brg * uy
+                mz = rz + brg * uz
+                mabs = (mx * nx + my * ny + mz * nz) <= 0.0
+                minv = jax.lax.rsqrt(
+                    jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
+                mx, my, mz = mx * minv, my * minv, mz * minv
+
+                # dielectric (sm_ray_tracer.cpp:181-219)
+                inside = dd > 0.0
+                sgn = jnp.where(inside, f32(-1.0), f32(1.0))
+                onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
+                eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+                cosine = jnp.where(inside, brf * dd, -dd)
+                cos_i = -(dx * onx + dy * ony + dz * onz)
+                sin2 = eta * eta * (1.0 - cos_i * cos_i)
+                tir = sin2 > 1.0
+                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                fxx = eta * dx + (eta * cos_i - cos_t) * onx
+                fyy = eta * dy + (eta * cos_i - cos_t) * ony
+                fzz = eta * dz + (eta * cos_i - cos_t) * onz
+                r0 = (1.0 - brf) / (1.0 + brf)
+                r0 = r0 * r0
+                omc = 1.0 - cosine
+                omc2 = omc * omc
+                prob = jnp.where(tir, 1.0, r0 + (1.0 - r0) * omc2 * omc2 * omc)
+                refl_bit = coin < prob
+                gx = jnp.where(refl_bit, rx, fxx)
+                gy = jnp.where(refl_bit, ry, fyy)
+                gz = jnp.where(refl_bit, rz, fzz)
+                ginv = jax.lax.rsqrt(
+                    jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+                gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
+
+                is_met = bcl == 1.0
+                is_die = bcl == 2.0
+                ndx = jnp.where(is_met, mx, lx)
+                ndy = jnp.where(is_met, my, ly)
+                ndz = jnp.where(is_met, mz, lz)
+                ndx = jnp.where(is_die, gx, ndx)
+                ndy = jnp.where(is_die, gy, ndy)
+                ndz = jnp.where(is_die, gz, ndz)
+
+                alive = live_h & ~(is_met & mabs)
+                af = alive.astype(f32)
+                naf = 1.0 - af
+                tr = tr * (naf + af * bar * brf)
+                tg = tg * (naf + af * bag * brf)
+                tb = tb * (naf + af * bab * brf)
+
+                lh = live_h.astype(f32)
+                nlh = 1.0 - lh
+                ox = nlh * ox + lh * hx
+                oy = nlh * oy + lh * hy
+                oz = nlh * oz + lh * hz
+                dx = nlh * dx + lh * ndx
+                dy = nlh * dy + lh * ndy
+                dz = nlh * dz + lh * ndz
+                live = af
+
+        out_ref[0, 0] = acc[0]
+        out_ref[0, 1] = acc[1]
+        out_ref[0, 2] = acc[2]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_bw(*, width, height, s_pad, p_pad, spp_unroll, max_bounces,
+                 rng_mode, rng_impl, center_sample, interpret, block=_BLOCK):
+    kernel = _make_blockwise_kernel(
+        width=width, height=height, s_pad=s_pad, p_pad=p_pad,
+        spp_unroll=spp_unroll, max_bounces=max_bounces, rng_mode=rng_mode,
+        rng_impl=rng_impl, center_sample=center_sample, block=block,
+    )
+    n = width * height
+    n_tiles = -(-n // _LANES)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # meta, cam
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((s_pad, _COLS), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((p_pad, _COLS), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 3, 1, _LANES),
+                                   lambda i, *_: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, 1, _LANES), jnp.float32),
+        interpret=interpret,
+    )
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_frame_bw(*, width, height, s_pad, p_pad, spp, spp_unroll,
+                       max_bounces, rng_mode, rng_impl, gamma, center_first,
+                       interpret, block=_BLOCK):
+    """Jitted frame: chained sample-chunk kernels + mean + gamma + crop in
+    ONE dispatch; primitive tables and camera are traced inputs."""
+    chunk_sizes = []
+    remaining = spp
+    while remaining > 0:
+        k = min(spp_unroll, remaining)
+        chunk_sizes.append(k)
+        remaining -= k
+    calls = [
+        _compiled_bw(width=width, height=height, s_pad=s_pad, p_pad=p_pad,
+                     spp_unroll=k, max_bounces=max_bounces, rng_mode=rng_mode,
+                     rng_impl=rng_impl,
+                     center_sample=(i == 0 and center_first),
+                     interpret=interpret, block=block)
+        for i, k in enumerate(chunk_sizes)
+    ]
+    n = width * height
+
+    @jax.jit
+    def run(meta_rows, cam, s_tab, p_tab):
+        total = None
+        for ci, call in enumerate(calls):
+            out = call(meta_rows[ci], cam, s_tab, p_tab)
+            total = out if total is None else total + out
+        img = total[:, :, 0, :] * jnp.float32(1.0 / spp)
+        if gamma:
+            img = jnp.sqrt(jnp.maximum(img, 0.0))
+        flat = img.transpose(0, 2, 1).reshape(-1, 3)
+        return flat[:n].reshape(height, width, 3)
+
+    return run, len(chunk_sizes)
+
+
+def render_forward_blockwise(
+    scene,
+    size: tuple[int, int],
+    seed: int = 0,
+    *,
+    personality: str = "mg",
+    spp: Optional[int] = None,
+    max_bounces: Optional[int] = None,
+    spp_unroll: int = 4,
+    gamma: bool = True,
+    rng_mode: str = "reference",
+    rng_impl: str = "hw",
+    center_sample: Optional[bool] = None,
+    interpret: bool = False,
+    block: Optional[int] = None,
+    **_unused,
+) -> jax.Array:
+    """Render a full frame with the blockwise megakernel.  (H, W, 3) f32.
+
+    Unlike :func:`rt_tpu.ops.pallas_render.render_forward_pallas`, scene
+    content (geometry, materials, camera, personality) is a runtime input:
+    the compiled kernel is reused across scene edits as long as the padded
+    table bucket, image size and bounce count are unchanged.
+    """
+    if not blockwise_supported(scene):
+        raise ValueError(
+            "scene exceeds the blockwise megakernel limits "
+            f"({MAX_BLOCKWISE_PRIMS} primitives, no boxes) — use the jnp path"
+        )
+    w, h = size
+    if spp is None:
+        spp = scene.samples_per_pixel
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    spp_unroll = min(spp_unroll, spp)
+
+    s_cols, p_cols = _flatten_primitives(scene, personality)
+    s_pad = _bucket(scene.spheres.count)
+    p_pad = _bucket(scene.planes.count)
+    s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
+    p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
+    if block is None:
+        # bigger blocks amortize the per-block argmin/extract overhead once
+        # the table is tall enough; small tables stay at one (8,128) tile
+        block = _BLOCK if max(s_pad, p_pad) <= 128 else 64
+
+    run, n_chunks = _compiled_frame_bw(
+        width=w, height=h, s_pad=s_pad, p_pad=p_pad, spp=spp,
+        spp_unroll=spp_unroll, max_bounces=max_bounces, rng_mode=rng_mode,
+        rng_impl=rng_impl, gamma=gamma,
+        center_first=(True if center_sample is None else center_sample),
+        interpret=interpret, block=block,
+    )
+
+    cam = jnp.concatenate([
+        jnp.asarray(scene.camera.position, jnp.float32),
+        jnp.asarray(scene.camera.rotation, jnp.float32).reshape(-1),
+        jnp.asarray([
+            np.tan(scene.camera.vfov * 0.5), w / h, scene.camera.near, 0.0
+        ], jnp.float32),
+    ])
+    metas = []
+    chunk_seed = seed
+    for _ in range(n_chunks):
+        metas.append([chunk_seed, scene.spheres.count, scene.planes.count])
+        chunk_seed = int((chunk_seed * 1103515245 + 12345) % (2**31 - 1))
+    return run(jnp.asarray(metas, jnp.int32), cam, s_tab, p_tab)

@@ -135,5 +135,21 @@ def _install_builtins() -> None:
     register_renderer("mg_pallas", _pallas("mg"))
     register_renderer("sm_pallas", _pallas("sm"))
 
+    def _blockwise(personality):
+        def factory():
+            def render(scene, size, key=None, *, seed: int = 0, **opts):
+                from .ops.pallas_blockwise import render_forward_blockwise
+
+                return render_forward_blockwise(
+                    scene, size, seed=seed, personality=personality, **opts
+                )
+            return render
+        return factory
+
+    # Blockwise megakernel (rt_tpu.ops.pallas_blockwise): dynamic primitive
+    # tables streamed through VMEM — big scenes, no recompile on edits.
+    register_renderer("mg_blockwise", _blockwise("mg"))
+    register_renderer("sm_blockwise", _blockwise("sm"))
+
 
 _install_builtins()

@@ -1,0 +1,150 @@
+"""Blockwise Pallas megakernel tests (rt_tpu.ops.pallas_blockwise).
+
+Unlike the unrolled megakernel (Mosaic-only hardware PRNG), the blockwise
+kernel has a portable counter-hash RNG (``rng_impl="hash"``) that is
+bit-identical between Mosaic and pallas interpret mode — so the full
+estimator runs end-to-end on the CPU test mesh here.  Parity targets:
+
+* deterministic path (1 spp centre sample, 1 bounce: primary hit + sky)
+  must match the jnp renderer to float eps;
+* full path (multi-spp, full bounces, dielectrics) must match the jnp
+  renderer *statistically* — equal-spp MC estimates of the same integral
+  (SURVEY.md §4: the reference is nondeterministic, parity is statistical).
+"""
+
+import numpy as np
+import pytest
+
+import jax.random as jr
+
+import rt_tpu
+from rt_tpu.integrator import render_image
+from rt_tpu.ops.pallas_blockwise import (
+    MAX_BLOCKWISE_PRIMS,
+    _bucket,
+    blockwise_supported,
+    render_forward_blockwise,
+)
+
+
+def _bw(scene, size, **kw):
+    kw.setdefault("rng_impl", "hash")
+    kw.setdefault("interpret", True)
+    return np.asarray(render_forward_blockwise(scene, size, **kw))
+
+
+def test_supported_gates():
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    assert blockwise_supported(s)
+    boxy = rt_tpu.loads(
+        "materials = [ { type = 'lambert' } ]\nboxes = [ { material = 0 } ]\n"
+    )
+    assert not blockwise_supported(boxy)
+
+
+def test_bucket_sizes():
+    assert _bucket(3) == 128
+    assert _bucket(128) == 128
+    assert _bucket(129) == 512
+    assert _bucket(500) == 512
+    assert _bucket(5000) == 5120
+
+
+def test_registry_has_blockwise_renderers():
+    from rt_tpu import renderer as reg
+
+    assert reg.find_by_name("mg_blockwise") is not None
+    assert reg.find_by_name("sm_blockwise") is not None
+
+
+def test_unsupported_scene_raises():
+    boxy = rt_tpu.loads(
+        "materials = [ { type = 'lambert' } ]\nboxes = [ { material = 0 } ]\n"
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        render_forward_blockwise(boxy, (8, 8), spp=1, max_bounces=1)
+
+
+def test_deterministic_parity_basic():
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    img_bw = _bw(s, (64, 48), spp=1, max_bounces=1)
+    img_jn = np.asarray(render_image(s, (64, 48), jr.key(0), spp=1, max_bounces=1))
+    np.testing.assert_allclose(img_bw, img_jn, atol=1e-5)
+
+
+def test_deterministic_parity_plane_scene():
+    # exercises the plane scan path + plane-vs-sphere tie-breaking
+    s = rt_tpu.loads(
+        """
+samples_per_pixel = 1
+max_bounces = 1
+materials = [ { type = 'lambert', albedo = 'red' },
+              { type = 'metal',   albedo = 'white', roughness = 0.1 } ]
+planes  = [ { material = 0 } ]
+spheres = [ { material = 1, position = [0.0, 1.0, -3.0], radius = 0.5 } ]
+"""
+    )
+    img_bw = _bw(s, (48, 32), spp=1, max_bounces=1)
+    img_jn = np.asarray(render_image(s, (48, 32), jr.key(0), spp=1, max_bounces=1))
+    np.testing.assert_allclose(img_bw, img_jn, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "path,pers",
+    [
+        ("/root/reference/scenes/basic.toml", "mg"),
+        ("/root/reference/scenes/dielectric.toml", "sm"),
+    ],
+)
+def test_statistical_parity(path, pers):
+    s = rt_tpu.load(path)
+    spp = 16
+    img_bw = _bw(s, (48, 32), spp=spp, max_bounces=8, personality=pers, seed=7)
+    img_jn = np.asarray(
+        render_image(s, (48, 32), jr.key(3), spp=spp, max_bounces=8, personality=pers)
+    )
+    # equal-spp MC estimates: image means agree ~1/sqrt(N*spp), pixels ~1/sqrt(spp)
+    assert abs(img_bw.mean() - img_jn.mean()) < 0.01
+    assert np.abs(img_bw - img_jn).mean() < 0.03
+
+
+def test_large_procedural_scene_runs():
+    # >640 primitives — beyond the unrolled kernel's cap, the blockwise
+    # kernel's raison d'être (BASELINE.json config 4)
+    s = rt_tpu.scene.make_procedural_scene(700)
+    assert blockwise_supported(s)
+    img = _bw(s, (16, 16), spp=1, max_bounces=2)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.1
+
+
+def test_scene_edit_no_recompile():
+    # same bucket => the cached jitted frame is reused (cache info stable)
+    from rt_tpu.ops import pallas_blockwise as bw
+
+    s1 = rt_tpu.load("/root/reference/scenes/basic.toml")
+    _bw(s1, (16, 16), spp=1, max_bounces=1)
+    before = bw._compiled_frame_bw.cache_info()
+    # move a sphere: same primitive count -> same bucket -> cache hit
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    sph = dataclasses.replace(
+        s1.spheres, center=s1.spheres.center + jnp.float32(0.05)
+    )
+    s2 = dataclasses.replace(s1, spheres=sph)
+    _bw(s2, (16, 16), spp=1, max_bounces=1)
+    after = bw._compiled_frame_bw.cache_info()
+    assert after.misses == before.misses
+    assert after.hits == before.hits + 1
+
+
+def test_spp_chunking_matches_single_chunk():
+    # spp split across kernel dispatches must agree with one big unroll
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    a = _bw(s, (24, 16), spp=4, max_bounces=4, spp_unroll=2, seed=11)
+    b = _bw(s, (24, 16), spp=4, max_bounces=4, spp_unroll=4, seed=11)
+    # different RNG chunking -> statistically equal, not bitwise
+    assert abs(a.mean() - b.mean()) < 0.02
