@@ -141,6 +141,35 @@ def test_scene_edit_no_recompile():
     assert after.hits == before.hits + 1
 
 
+def test_sharded_matches_single_device():
+    # ray tiles sharded over the 8-device CPU mesh; deterministic path must
+    # match the unsharded jnp renderer exactly (global tile ids via offset)
+    from rt_tpu import dist
+    from rt_tpu.ops.pallas_blockwise import render_forward_blockwise_sharded
+
+    mesh = dist.make_mesh(8, 1)
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    img = np.asarray(render_forward_blockwise_sharded(
+        s, (64, 48), mesh, spp=1, max_bounces=1, rng_impl="hash",
+        interpret=True))
+    ref = np.asarray(render_image(s, (64, 48), jr.key(0), spp=1, max_bounces=1))
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_sharded_statistical_full_path():
+    from rt_tpu import dist
+    from rt_tpu.ops.pallas_blockwise import render_forward_blockwise_sharded
+
+    mesh = dist.make_mesh(4, 1, devices=__import__("jax").devices()[:4])
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    img = np.asarray(render_forward_blockwise_sharded(
+        s, (48, 32), mesh, seed=5, spp=8, max_bounces=6, rng_impl="hash",
+        interpret=True))
+    ref = np.asarray(render_image(s, (48, 32), jr.key(2), spp=8, max_bounces=6))
+    assert abs(img.mean() - ref.mean()) < 0.015
+    assert np.abs(img - ref).mean() < 0.04
+
+
 def test_spp_chunking_matches_single_chunk():
     # spp split across kernel dispatches must agree with one big unroll
     s = rt_tpu.load("/root/reference/scenes/basic.toml")
