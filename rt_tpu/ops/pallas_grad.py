@@ -47,7 +47,8 @@ from .pallas_render import (
     render_forward_pallas,
 )
 
-__all__ = ["pallas_mse_loss_and_grad", "pallas_grad_supported"]
+__all__ = ["pallas_mse_loss_and_grad", "pallas_grad_supported",
+           "make_mse_step"]
 
 _BIG = 3.0e38
 _MIN_HIT = 0.001
@@ -519,9 +520,62 @@ def pallas_mse_loss_and_grad(
             np.tan(concrete.camera.vfov * 0.5), w / h, concrete.camera.near, 0.0
         ], jnp.float32),
     ])
-    seeds = jnp.asarray([seed * 100003 + s for s in range(spp)], jnp.int32)
-    loss, grads = run(cam, seeds, jnp.asarray(target, jnp.float32))
+    loss, grads = run(cam, jnp.int32(seed), jnp.asarray(target, jnp.float32))
     return loss, grads
+
+
+def make_mse_step(
+    params,
+    scene,
+    target,
+    size: tuple[int, int],
+    *,
+    spp: int = 4,
+    max_bounces: Optional[int] = None,
+    personality: str = "mg",
+    rows: int = 8,
+    rng_mode: str = "reference",
+):
+    """Prebuilt fwd+bwd step: ``step(seed) -> (loss, grads)``.
+
+    Does all host-side prep (param baking, table flattening, camera packing,
+    target upload) ONCE; each call then ships a single int32 seed and runs
+    one fused dispatch.  This is the steady-state training-loop shape — per
+    step the host does no tracing, no tree flattening and no small-array
+    uploads (each of those is a round trip through the remote-TPU tunnel).
+    """
+    from ..diff import apply_params
+
+    w, h = size
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    concrete = apply_params(scene, jax.tree_util.tree_map(jnp.asarray, params))
+    if not pallas_grad_supported(concrete):
+        raise ValueError("scene exceeds the fused grad kernel limits")
+
+    s_cols, p_cols = _flatten_primitives(concrete, personality)
+    run = _compiled_pipeline(
+        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
+        bytes(np.asarray(concrete.spheres.material, np.int32)[:concrete.spheres.count]),
+        bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
+        width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
+        rng_mode=rng_mode,
+        S_table=scene.spheres.center.shape[0],
+        M_table=scene.materials.albedo.shape[0],
+    )
+    cam = jnp.concatenate([
+        jnp.asarray(concrete.camera.position, jnp.float32),
+        jnp.asarray(concrete.camera.rotation, jnp.float32).reshape(-1),
+        jnp.asarray([
+            np.tan(concrete.camera.vfov * 0.5), w / h, concrete.camera.near, 0.0
+        ], jnp.float32),
+    ])
+    target_dev = jnp.asarray(target, jnp.float32)
+
+    def step(seed: int):
+        return run(cam, jnp.int32(seed), target_dev)
+
+    return step
 
 
 @functools.lru_cache(maxsize=16)
@@ -554,7 +608,8 @@ def _compiled_pipeline(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
     ]
 
     @jax.jit
-    def run(cam, seeds, target):
+    def run(cam, seed0, target):
+        seeds = seed0 * jnp.int32(100003) + jnp.arange(spp, dtype=jnp.int32)
         total = None
         for s in range(spp):
             call = fwd_calls[0] if s == 0 else fwd_calls[1 % len(fwd_calls)]
