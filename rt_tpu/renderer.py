@@ -151,5 +151,44 @@ def _install_builtins() -> None:
     register_renderer("mg_blockwise", _blockwise("mg"))
     register_renderer("sm_blockwise", _blockwise("sm"))
 
+    def _auto(personality):
+        def factory():
+            def render(scene, size, key=None, *, seed: int = 0, **opts):
+                import jax
+
+                if jax.devices()[0].platform not in ("cpu",):
+                    from .ops.pallas_blockwise import (
+                        blockwise_supported,
+                        render_forward_blockwise,
+                    )
+                    from .ops.pallas_render import (
+                        pallas_supported,
+                        render_forward_pallas,
+                    )
+
+                    if pallas_supported(scene):
+                        opts.pop("rng_mode", None)
+                        return render_forward_pallas(
+                            scene, size, seed=seed,
+                            personality=personality, **opts)
+                    if blockwise_supported(scene):
+                        opts.pop("rng_mode", None)
+                        return render_forward_blockwise(
+                            scene, size, seed=seed,
+                            personality=personality, **opts)
+                if key is None:
+                    from . import rng
+
+                    key = rng.make_key(seed)
+                return integrator.render_image(
+                    scene, size, key, personality=personality, **opts)
+            return render
+        return factory
+
+    # Auto-select: unrolled megakernel for small scenes on TPU, blockwise
+    # for big ones, jnp wavefront otherwise (boxes, CPU, >16384 prims).
+    register_renderer("mg_auto", _auto("mg"))
+    register_renderer("sm_auto", _auto("sm"))
+
 
 _install_builtins()

@@ -57,6 +57,15 @@ def test_registry_has_blockwise_renderers():
     assert reg.find_by_name("sm_blockwise") is not None
 
 
+def test_auto_renderer_cpu_fallback():
+    from rt_tpu import renderer as reg
+
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    img = np.asarray(reg.create("mg_auto")(s, (32, 24), spp=1, max_bounces=2))
+    ref = np.asarray(render_image(s, (32, 24), jr.key(0), spp=1, max_bounces=2))
+    np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
 def test_unsupported_scene_raises():
     boxy = rt_tpu.loads(
         "materials = [ { type = 'lambert' } ]\nboxes = [ { material = 0 } ]\n"

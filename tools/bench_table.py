@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Measure the five BASELINE.json configs on the attached TPU chip and write
+BENCH_TABLE.md.
+
+Configs 4/5 name pod-scale shapes (v5e-8 / multi-host); with one chip those
+rows report single-chip rates on the same scenes (the sharded paths are
+validated separately on the virtual CPU mesh — tests/test_dist.py,
+tests/test_pallas_blockwise.py).  Config 5's full frame (4K @ 256 spp) is
+rate-measured on a slice, not rendered end-to-end.
+
+Usage: python tools/bench_table.py [--fast]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="shrink spp for a quick pass")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    import jax.numpy as jnp
+    import numpy as np
+
+    import rt_tpu
+    from rt_tpu import diff
+    from rt_tpu.ops.pallas_blockwise import render_forward_blockwise
+    from rt_tpu.ops.pallas_grad import make_mse_step
+    from rt_tpu.ops.pallas_render import render_forward_pallas
+
+    rows = []
+
+    def timeit(fn, reps=3):
+        out = fn(0)
+        jax.block_until_ready(out)
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            out = fn(i + 1)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts), out
+
+    # --- config 1: basic 200x150 @ 1spp d4, parity posture ------------------
+    s = rt_tpu.load("scenes/basic.toml")
+    t, img = timeit(lambda i: render_forward_pallas(
+        s, (200, 150), seed=i, spp=1, max_bounces=4))
+    rows.append(("1: basic 200x150 @1spp d4 fwd",
+                 f"{200*150*1/t/1e6:.0f} Mrays/s ({t*1e3:.2f} ms)"))
+
+    # --- config 2: basic 800x600 @ 16spp d8 fwd + fwd/bwd -------------------
+    spp2 = 4 if args.fast else 16
+    t, _ = timeit(lambda i: render_forward_pallas(
+        s, (800, 600), seed=i, spp=spp2, max_bounces=8))
+    rows.append((f"2: basic 800x600 @{spp2}spp d8 fwd",
+                 f"{800*600*spp2/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms)"))
+
+    params = diff.extract_params(s)
+    target = jnp.zeros((600, 800, 3), jnp.float32)
+    step = make_mse_step(params, s, target, (800, 600), spp=4, max_bounces=8)
+    loss, grads = step(0)
+    jax.block_until_ready(grads)
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        loss, grads = step(i)
+    jax.block_until_ready(grads)
+    t = (time.perf_counter() - t0) / iters
+    rows.append(("2: basic 800x600 @4spp d8 fwd+bwd (sphere/material/camera grads)",
+                 f"{800*600*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step)"))
+
+    # --- config 3: dielectric 800x600 @ 64spp sm ----------------------------
+    d = rt_tpu.load("scenes/dielectric.toml")
+    spp3 = 8 if args.fast else 64
+    t, _ = timeit(lambda i: render_forward_pallas(
+        d, (800, 600), seed=i, spp=spp3, max_bounces=8, personality="sm"),
+        reps=2)
+    rows.append((f"3: dielectric 800x600 @{spp3}spp d8 fwd (sm)",
+                 f"{800*600*spp3/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms)"))
+
+    # --- config 4: 500-sphere 1080p -----------------------------------------
+    s500 = rt_tpu.scene.make_procedural_scene(500)
+    spp4 = 4 if args.fast else 16
+    t, _ = timeit(lambda i: render_forward_blockwise(
+        s500, (1920, 1080), seed=i, spp=spp4, max_bounces=8), reps=2)
+    rb = 1920 * 1080 * spp4 * 8
+    rows.append((f"4: 500-sphere 1080p @{spp4}spp d8 fwd (blockwise)",
+                 f"{rb/t/1e9:.2f} Gray-bounces/s ({t:.2f} s/frame; "
+                 f"128 spp ≈ {t*128/spp4:.1f} s)"))
+
+    # --- config 5: 5000-sphere rate on a 4K slice ---------------------------
+    s5k = rt_tpu.scene.make_procedural_scene(5000)
+    t, _ = timeit(lambda i: render_forward_blockwise(
+        s5k, (960, 540), seed=i, spp=2, max_bounces=8), reps=2)
+    rb = 960 * 540 * 2 * 8
+    rows.append(("5: 5000-sphere fwd rate (960x540 @2spp d8 slice, blockwise)",
+                 f"{rb/t/1e9:.2f} Gray-bounces/s "
+                 f"({rb*5120/t/1e12:.1f} T prim-tests/s)"))
+
+    md = ["# BENCH_TABLE — measured on the attached TPU chip", "",
+          "| Config | Result |", "|---|---|"]
+    for k, v in rows:
+        md.append(f"| {k} | {v} |")
+        print(f"{k}: {v}", flush=True)
+    md += [
+        "",
+        "Notes:",
+        "- Single blocked calls on this rig pay a ~25-50 ms host→TPU tunnel",
+        "  round trip; config 1 (30k rays) measures that latency floor, not",
+        "  compute (the same kernel sustains ~750 Mrays/s at config-2 size).",
+        "- Row 2 fwd+bwd uses the prebuilt fused step (10 pipelined steps).",
+        "- Rows 4/5 count potential ray-bounces (W*H*spp*depth); the",
+        "  reference's linear-scan semantics make work proportional to",
+        "  ray-bounces x primitives (row 5 sustains ~0.1 T prim-tests/s).",
+    ]
+    with open(os.path.join(REPO, "BENCH_TABLE.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("wrote BENCH_TABLE.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -62,6 +62,32 @@ def main():
               f"pallas mean {pk.mean():.4f} jnp {jn.mean():.4f} "
               f"MAD {mad:.4f} (pallas {t_pallas:.1f}s, jnp {t_jnp:.1f}s)")
 
+    # blockwise megakernel: dynamic-table path (small scene + >640-prim scene)
+    from rt_tpu.ops.pallas_blockwise import render_forward_blockwise
+
+    for scene_file, personality in [("scenes/basic.toml", "mg"),
+                                    ("scenes/dielectric.toml", "sm")]:
+        s = rt_tpu.load(scene_file)
+        bw = np.asarray(render_forward_blockwise(
+            s, size, seed=1, spp=spp, max_bounces=8, personality=personality))
+        jn = np.asarray(rt_tpu.integrator.render_image(
+            s, size, rt_tpu.rng.make_key(1), spp=spp, max_bounces=8,
+            personality=personality))
+        mad = float(np.abs(bw - jn).mean())
+        dmean = abs(float(bw.mean()) - float(jn.mean()))
+        ok = dmean < 0.01 and mad < 0.06
+        failures += not ok
+        print(f"[{'ok ' if ok else 'FAIL'}] {scene_file} (blockwise "
+              f"{personality}): mean {bw.mean():.4f} jnp {jn.mean():.4f} "
+              f"MAD {mad:.4f}")
+
+    big = rt_tpu.scene.make_procedural_scene(700)
+    bw = np.asarray(render_forward_blockwise(big, (160, 120), seed=1,
+                                             spp=2, max_bounces=4))
+    ok = np.isfinite(bw).all() and 0.05 < bw.mean() < 0.98
+    failures += not ok
+    print(f"[{'ok ' if ok else 'FAIL'}] 700-sphere blockwise: mean {bw.mean():.4f}")
+
     # throughput headline
     s = rt_tpu.load("scenes/basic.toml")
     img = render_forward_pallas(s, (800, 600), seed=2, spp=4, max_bounces=8)
