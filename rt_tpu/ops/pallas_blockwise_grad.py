@@ -73,6 +73,7 @@ __all__ = [
     "bw_grad_supported",
     "bw_mse_loss_and_grad",
     "make_bw_mse_step",
+    "make_bw_train_step",
 ]
 
 _BIG = 3.0e38
@@ -581,6 +582,119 @@ def _bw_grad_pipeline(s_mat_bytes, p_mat_bytes, *, width, height, s_pad,
         return loss, grads
 
     return run
+
+
+def _tables_jnp(scene, params, personality, s_pad, p_pad, size):
+    """Traced params -> padded (pad, 16) tables + packed camera vector.
+
+    The jnp twin of pallas_render._flatten_primitives + _padded_table:
+    material indices and types are static (they never train), parameter
+    values flow through traced gathers — so a full optimization step jits
+    end to end with the tables rebuilt on-device each step."""
+    from ..diff import apply_params
+    from ..materials import personality_classes
+
+    w, h = size
+    sc = apply_params(scene, params)
+    with jax.ensure_compile_time_eval():  # static lookups inside the jit
+        classes = np.asarray(personality_classes(personality))
+        mat_t = np.asarray(scene.materials.type)
+
+    def build(geom, mats, count, pad):
+        out = jnp.zeros((pad, _COLS), jnp.float32)
+        if not count:
+            return out
+        m = np.asarray(mats)[:count]
+        cols = jnp.concatenate([
+            geom,
+            sc.materials.albedo[m][:, :3],
+            sc.materials.reflectivity[m][:, None],
+            sc.materials.roughness[m][:, None],
+            jnp.broadcast_to(
+                jnp.asarray(classes[mat_t[m]], jnp.float32)[:, None],
+                (count, 1)),
+        ], axis=1)
+        return out.at[:count, :10].set(cols)
+
+    ns, npl = scene.spheres.count, scene.planes.count
+    s_tab = build(
+        jnp.concatenate([sc.spheres.center[:ns],
+                         sc.spheres.radius[:ns, None]], axis=1)
+        if ns else None,
+        scene.spheres.material, ns, s_pad)
+    p_tab = build(
+        jnp.concatenate([sc.planes.normal[:npl],
+                         sc.planes.d[:npl, None]], axis=1)
+        if npl else None,
+        scene.planes.material, npl, p_pad)
+    cam = jnp.concatenate([
+        jnp.asarray(sc.camera.position, jnp.float32),
+        jnp.asarray(sc.camera.rotation, jnp.float32).reshape(-1),
+        jnp.asarray([np.tan(scene.camera.vfov * 0.5), w / h,
+                     scene.camera.near, 0.0], jnp.float32),
+    ])
+    return s_tab, p_tab, cam
+
+
+def make_bw_train_step(
+    optimizer,
+    scene,
+    target,
+    size: tuple[int, int],
+    *,
+    spp: int = 4,
+    max_bounces: Optional[int] = None,
+    personality: str = "mg",
+    rng_mode: str = "reference",
+    rng_impl: str = "hw",
+    block: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Fully-jitted big-scene optimization step:
+    ``step(params, opt_state, seed) -> (params, opt_state, loss)``.
+
+    Tables are rebuilt from the traced parameters on-device every step and
+    fed to the blockwise fwd+bwd kernels, so an entire optax loop runs at
+    kernel speed with zero recompiles — the thing the baked-constant
+    pipeline (rt_tpu.diff.pallas_loss_and_grad / ops.pallas_grad)
+    fundamentally cannot do.  Complements rt_tpu.train.make_train_step
+    (jnp paths) for scenes beyond the unrolled kernels' caps."""
+    import optax
+
+    w, h = size
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    if not bw_grad_supported(scene):
+        raise ValueError("scene exceeds the blockwise grad kernel limits")
+    s_pad = _bucket(scene.spheres.count)
+    p_pad = _bucket(scene.planes.count)
+    if block is None:
+        block = _BLOCK if max(s_pad, p_pad) <= 128 else 128
+    run = _bw_grad_pipeline(
+        bytes(np.asarray(scene.spheres.material,
+                         np.int32)[:scene.spheres.count]),
+        bytes(np.asarray(scene.planes.material,
+                         np.int32)[:scene.planes.count]),
+        width=w, height=h, s_pad=s_pad, p_pad=p_pad, spp=spp,
+        max_bounces=max_bounces, rng_mode=rng_mode, rng_impl=rng_impl,
+        block=block, interpret=interpret,
+        n_sph=scene.spheres.count, n_pln=scene.planes.count,
+        S_table=scene.spheres.center.shape[0],
+        M_table=scene.materials.albedo.shape[0],
+    )
+    target_dev = jnp.asarray(target, jnp.float32)
+
+    @jax.jit
+    def step(params, opt_state, seed):
+        s_tab, p_tab, cam = _tables_jnp(scene, params, personality,
+                                        s_pad, p_pad, size)
+        loss, grads = run(cam, jnp.int32(seed), s_tab, p_tab, target_dev)
+        grads = {k: grads[k] for k in params}
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
 
 
 def _prep(params, scene, size, personality, block):

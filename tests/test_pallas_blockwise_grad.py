@@ -163,6 +163,34 @@ def test_pipeline_reused_across_param_updates():
     assert after.hits == before.hits + 1
 
 
+def test_train_step_decreases_loss_without_recompile():
+    import optax
+
+    from rt_tpu.ops import pallas_blockwise_grad as bwg
+    from rt_tpu.ops.pallas_blockwise_grad import make_bw_train_step
+
+    scene, params = _setup()
+    size = (24, 16)
+    # target: the scene with a dimmer fuchsia sphere — recover via albedo
+    s_tab, p_tab, cam = _tables_and_cam(scene, size)
+    target = jnp.asarray(_render(scene, s_tab, p_tab, cam, 7, size))
+
+    p0 = {"materials.albedo": params["materials.albedo"] * 0.6}
+    opt = optax.adam(5e-2)
+    step = make_bw_train_step(opt, scene, target, size, spp=SPP,
+                              max_bounces=MB, rng_impl="hash",
+                              interpret=True)
+    opt_state = opt.init(p0)
+    losses = []
+    p = p0
+    for i in range(4):
+        p, opt_state, loss = step(p, opt_state, 7)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
+    # the jitted step must not retrace across parameter updates
+    assert step._cache_size() == 1
+
+
 def test_large_scene_grads_run():
     # >640 primitives: beyond both unrolled kernels' caps
     scene = rt_tpu.scene.make_procedural_scene(700)
