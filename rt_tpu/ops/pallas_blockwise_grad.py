@@ -446,14 +446,16 @@ def _make_bw_grad_kernel(*, width, height, s_pad, p_pad, max_bounces,
 
 @functools.lru_cache(maxsize=16)
 def _compiled_bw_grad(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
-                      rng_impl, center_sample, interpret, block=_BLOCK):
+                      rng_impl, center_sample, interpret, block=_BLOCK,
+                      n_tiles=None):
     kernel = _make_bw_grad_kernel(
         width=width, height=height, s_pad=s_pad, p_pad=p_pad,
         max_bounces=max_bounces, rng_mode=rng_mode, rng_impl=rng_impl,
         center_sample=center_sample, block=block,
     )
-    n = width * height
-    n_tiles = -(-n // _LANES)
+    if n_tiles is None:
+        n = width * height
+        n_tiles = -(-n // _LANES)
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -546,42 +548,156 @@ def _bw_grad_pipeline(s_mat_bytes, p_mat_bytes, *, width, height, s_pad,
             pg_total = pg if pg_total is None else pg_total + pg
             cg_total = cg if cg_total is None else cg_total + cg
 
-        # grad-table columns: 0-2 centre/normal, 3 radius/d, 4-6 albedo rgb,
-        # 7 reflectivity, 8 roughness
-        ns, npl = n_sph, n_pln
-        g_center = jnp.zeros((S_table, 3), jnp.float32)
-        g_radius = jnp.zeros((S_table,), jnp.float32)
-        if ns:
-            g_center = g_center.at[:ns].set(sg_total[:ns, 0:3])
-            g_radius = g_radius.at[:ns].set(sg_total[:ns, 3])
-        g_alb = jnp.zeros((M_table, 4), jnp.float32)
-        g_refl = jnp.zeros((M_table,), jnp.float32)
-        g_rough = jnp.zeros((M_table,), jnp.float32)
-        if ns:
-            g_alb = g_alb.at[s_mat, 0].add(sg_total[:ns, 4])
-            g_alb = g_alb.at[s_mat, 1].add(sg_total[:ns, 5])
-            g_alb = g_alb.at[s_mat, 2].add(sg_total[:ns, 6])
-            g_refl = g_refl.at[s_mat].add(sg_total[:ns, 7])
-            g_rough = g_rough.at[s_mat].add(sg_total[:ns, 8])
-        if npl:
-            g_alb = g_alb.at[p_mat, 0].add(pg_total[:npl, 4])
-            g_alb = g_alb.at[p_mat, 1].add(pg_total[:npl, 5])
-            g_alb = g_alb.at[p_mat, 2].add(pg_total[:npl, 6])
-            g_refl = g_refl.at[p_mat].add(pg_total[:npl, 7])
-            g_rough = g_rough.at[p_mat].add(pg_total[:npl, 8])
-
-        grads = {
-            "spheres.center": g_center,
-            "spheres.radius": g_radius,
-            "materials.albedo": g_alb,
-            "materials.roughness": g_rough,
-            "materials.reflectivity": g_refl,
-            "camera.position": cg_total[0:3],
-            "camera.rotation": cg_total[3:12].reshape(3, 3),
-        }
+        grads = _assemble_grads(sg_total, pg_total, cg_total, s_mat, p_mat,
+                                n_sph, n_pln, S_table, M_table)
         return loss, grads
 
     return run
+
+
+@functools.lru_cache(maxsize=16)
+def _bw_grad_pipeline_sharded(s_mat_bytes, p_mat_bytes, mesh_key, *, width,
+                              height, s_pad, p_pad, spp, max_bounces,
+                              rng_mode, rng_impl, block, interpret, n_sph,
+                              n_pln, S_table, M_table, axis):
+    """Ray-sharded twin of _bw_grad_pipeline (BASELINE configs 4/5).
+
+    Each device renders + differentiates its contiguous tile range (the
+    MSE cotangent is pixel-separable, so the local cot needs only local
+    pixels); the per-primitive gradient tables and the scalar loss are
+    ``psum``-ed across the mesh — XLA schedules the all-reduce against the
+    remaining per-shard work (the 'overlapped grad all-reduce' of
+    BASELINE.json config 5).  Bit-identical to the unsharded pipeline for
+    the same seed: per-shard tile offsets keep pixel ids and RNG streams
+    globally unique."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = _MESHES[mesh_key]
+    n_dev = mesh.shape[axis]
+    n = width * height
+    n_tiles = -(-n // _LANES)
+    n_tiles_pad = -(-n_tiles // n_dev) * n_dev
+    local_tiles = n_tiles_pad // n_dev
+    s_mat = np.frombuffer(s_mat_bytes, np.int32)
+    p_mat = np.frombuffer(p_mat_bytes, np.int32)
+
+    fwd_calls = [
+        _compiled_bw(width=width, height=height, s_pad=s_pad, p_pad=p_pad,
+                     spp_unroll=1, max_bounces=max_bounces, rng_mode=rng_mode,
+                     rng_impl=rng_impl, center_sample=(s == 0),
+                     interpret=interpret, block=block, n_tiles=local_tiles)
+        for s in range(min(spp, 2))
+    ]
+    grad_calls = [
+        _compiled_bw_grad(width=width, height=height, s_pad=s_pad,
+                          p_pad=p_pad, max_bounces=max_bounces,
+                          rng_mode=rng_mode, rng_impl=rng_impl,
+                          center_sample=(s == 0), interpret=interpret,
+                          block=block, n_tiles=local_tiles)
+        for s in range(min(spp, 2))
+    ]
+
+    def shard_fn(cam, seeds, s_tab, p_tab, target_blocks):
+        off = jax.lax.axis_index(axis).astype(jnp.int32) * local_tiles
+
+        def meta(s):
+            return jnp.stack([seeds[s], jnp.int32(n_sph), jnp.int32(n_pln),
+                              off])
+
+        total = None
+        for s in range(spp):
+            call = fwd_calls[0] if s == 0 else fwd_calls[1 % len(fwd_calls)]
+            out = call(meta(s), cam, s_tab, p_tab)
+            total = out if total is None else total + out
+        img_blocks = total * jnp.float32(1.0 / spp)
+
+        gidx = ((off + jnp.arange(local_tiles))[:, None] * _LANES
+                + jnp.arange(_LANES)[None, :])
+        valid = (gidx < n).astype(jnp.float32)[:, None, None, :]
+        diff = (img_blocks - target_blocks) * valid
+        loss = jax.lax.psum(jnp.sum(diff ** 2), axis) / (3.0 * n)
+        cot = 2.0 * diff / (3.0 * n * spp)
+
+        sg_total = pg_total = cg_total = None
+        for s in range(spp):
+            g = grad_calls[0] if s == 0 else grad_calls[1 % len(grad_calls)]
+            sg, pg, cg = g(meta(s), cam, s_tab, p_tab, cot)
+            cg = cg.sum(axis=(0, 1))
+            sg_total = sg if sg_total is None else sg_total + sg
+            pg_total = pg if pg_total is None else pg_total + pg
+            cg_total = cg if cg_total is None else cg_total + cg
+        sg_total = jax.lax.psum(sg_total, axis)
+        pg_total = jax.lax.psum(pg_total, axis)
+        cg_total = jax.lax.psum(cg_total, axis)
+        return loss, sg_total, pg_total, cg_total
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def run(cam, seed0, s_tab, p_tab, target):
+        seeds = seed0 * jnp.int32(100003) + jnp.arange(spp, dtype=jnp.int32)
+        tgt = target.reshape(n, 3)
+        tgt = jnp.pad(tgt, ((0, n_tiles_pad * _LANES - n), (0, 0)))
+        target_blocks = tgt.reshape(n_tiles_pad, 1, _LANES, 3).transpose(
+            0, 3, 1, 2)
+        loss, sg_total, pg_total, cg_total = sharded(
+            cam, seeds, s_tab, p_tab, target_blocks)
+        grads = _assemble_grads(sg_total, pg_total, cg_total, s_mat, p_mat,
+                                n_sph, n_pln, S_table, M_table)
+        return loss, grads
+
+    return run
+
+
+# shard meshes are unhashable; key them by id for the lru-cached pipelines
+_MESHES: dict = {}
+
+
+def _mesh_key(mesh) -> int:
+    key = id(mesh)
+    _MESHES[key] = mesh
+    return key
+
+
+def _assemble_grads(sg_total, pg_total, cg_total, s_mat, p_mat, ns, npl,
+                    S_table, M_table):
+    """Grad tables (cols: 0-2 centre/normal, 3 radius/d, 4-6 albedo rgb,
+    7 reflectivity, 8 roughness) -> parameter pytree."""
+    g_center = jnp.zeros((S_table, 3), jnp.float32)
+    g_radius = jnp.zeros((S_table,), jnp.float32)
+    if ns:
+        g_center = g_center.at[:ns].set(sg_total[:ns, 0:3])
+        g_radius = g_radius.at[:ns].set(sg_total[:ns, 3])
+    g_alb = jnp.zeros((M_table, 4), jnp.float32)
+    g_refl = jnp.zeros((M_table,), jnp.float32)
+    g_rough = jnp.zeros((M_table,), jnp.float32)
+    if ns:
+        g_alb = g_alb.at[s_mat, 0].add(sg_total[:ns, 4])
+        g_alb = g_alb.at[s_mat, 1].add(sg_total[:ns, 5])
+        g_alb = g_alb.at[s_mat, 2].add(sg_total[:ns, 6])
+        g_refl = g_refl.at[s_mat].add(sg_total[:ns, 7])
+        g_rough = g_rough.at[s_mat].add(sg_total[:ns, 8])
+    if npl:
+        g_alb = g_alb.at[p_mat, 0].add(pg_total[:npl, 4])
+        g_alb = g_alb.at[p_mat, 1].add(pg_total[:npl, 5])
+        g_alb = g_alb.at[p_mat, 2].add(pg_total[:npl, 6])
+        g_refl = g_refl.at[p_mat].add(pg_total[:npl, 7])
+        g_rough = g_rough.at[p_mat].add(pg_total[:npl, 8])
+    return {
+        "spheres.center": g_center,
+        "spheres.radius": g_radius,
+        "materials.albedo": g_alb,
+        "materials.roughness": g_rough,
+        "materials.reflectivity": g_refl,
+        "camera.position": cg_total[0:3],
+        "camera.rotation": cg_total[3:12].reshape(3, 3),
+    }
 
 
 def _tables_jnp(scene, params, personality, s_pad, p_pad, size):
@@ -649,6 +765,8 @@ def make_bw_train_step(
     rng_impl: str = "hw",
     block: Optional[int] = None,
     interpret: bool = False,
+    mesh=None,
+    axis: str = "rays",
 ):
     """Fully-jitted big-scene optimization step:
     ``step(params, opt_state, seed) -> (params, opt_state, loss)``.
@@ -658,7 +776,11 @@ def make_bw_train_step(
     kernel speed with zero recompiles — the thing the baked-constant
     pipeline (rt_tpu.diff.pallas_loss_and_grad / ops.pallas_grad)
     fundamentally cannot do.  Complements rt_tpu.train.make_train_step
-    (jnp paths) for scenes beyond the unrolled kernels' caps."""
+    (jnp paths) for scenes beyond the unrolled kernels' caps.
+
+    With ``mesh``, ray tiles are sharded over ``mesh[axis]`` and the
+    per-primitive gradient tables are psum-ed across it (BASELINE configs
+    4/5); bit-identical to the single-device step for the same seed."""
     import optax
 
     w, h = size
@@ -670,11 +792,7 @@ def make_bw_train_step(
     p_pad = _bucket(scene.planes.count)
     if block is None:
         block = _BLOCK if max(s_pad, p_pad) <= 128 else 128
-    run = _bw_grad_pipeline(
-        bytes(np.asarray(scene.spheres.material,
-                         np.int32)[:scene.spheres.count]),
-        bytes(np.asarray(scene.planes.material,
-                         np.int32)[:scene.planes.count]),
+    common = dict(
         width=w, height=h, s_pad=s_pad, p_pad=p_pad, spp=spp,
         max_bounces=max_bounces, rng_mode=rng_mode, rng_impl=rng_impl,
         block=block, interpret=interpret,
@@ -682,6 +800,15 @@ def make_bw_train_step(
         S_table=scene.spheres.center.shape[0],
         M_table=scene.materials.albedo.shape[0],
     )
+    s_mat_b = bytes(np.asarray(scene.spheres.material,
+                               np.int32)[:scene.spheres.count])
+    p_mat_b = bytes(np.asarray(scene.planes.material,
+                               np.int32)[:scene.planes.count])
+    if mesh is None:
+        run = _bw_grad_pipeline(s_mat_b, p_mat_b, **common)
+    else:
+        run = _bw_grad_pipeline_sharded(s_mat_b, p_mat_b, _mesh_key(mesh),
+                                        axis=axis, **common)
     target_dev = jnp.asarray(target, jnp.float32)
 
     @jax.jit

@@ -191,6 +191,34 @@ def test_train_step_decreases_loss_without_recompile():
     assert step._cache_size() == 1
 
 
+def test_sharded_train_step_matches_single_device():
+    import optax
+
+    from rt_tpu import dist
+    from rt_tpu.ops.pallas_blockwise_grad import make_bw_train_step
+
+    scene, params = _setup()
+    size = (32, 24)
+    target = jnp.zeros((size[1], size[0], 3), jnp.float32)
+    p0 = {"materials.albedo": params["materials.albedo"] * 0.8,
+          "spheres.center": params["spheres.center"]}
+    opt = optax.adam(1e-2)
+    kw = dict(spp=SPP, max_bounces=MB, rng_impl="hash", interpret=True)
+    st1 = make_bw_train_step(opt, scene, target, size, **kw)
+    st8 = make_bw_train_step(opt, scene, target, size,
+                             mesh=dist.make_mesh(8, 1), **kw)
+    s1 = opt.init(p0)
+    s8 = opt.init(p0)
+    p1, _, l1 = st1(p0, s1, 5)
+    p8, _, l8 = st8(p0, s8, 5)
+    # per-shard tile offsets keep RNG streams globally unique => identical
+    # estimator; the psum only reorders the loss/grad reductions
+    assert abs(float(l1) - float(l8)) < 1e-6
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p8[k]),
+                                   atol=1e-6)
+
+
 def test_large_scene_grads_run():
     # >640 primitives: beyond both unrolled kernels' caps
     scene = rt_tpu.scene.make_procedural_scene(700)
