@@ -63,9 +63,10 @@ def main():
     ap.add_argument("--quick", action="store_true", help="tiny smoke run")
     ap.add_argument("--size", default=None, help="WxH override")
     ap.add_argument("--spp", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=10,
+    ap.add_argument("--iters", type=int, default=32,
                     help="timed fwd+bwd steps (async-pipelined, blocked once "
-                         "at the end: sustained throughput)")
+                         "at the end: sustained throughput; 32 steps amortize "
+                         "the ~25-50 ms host->TPU dispatch round trip)")
     args = ap.parse_args()
 
     import jax
