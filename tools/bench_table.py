@@ -71,7 +71,7 @@ def main():
     step = make_mse_step(params, s, target, (800, 600), spp=4, max_bounces=8)
     loss, grads = step(0)
     jax.block_until_ready(grads)
-    iters = 10
+    iters = 32
     t0 = time.perf_counter()
     for i in range(iters):
         loss, grads = step(i)
@@ -119,7 +119,7 @@ def main():
         "- Single blocked calls on this rig pay a ~25-50 ms host→TPU tunnel",
         "  round trip; config 1 (30k rays) measures that latency floor, not",
         "  compute (the same kernel sustains ~750 Mrays/s at config-2 size).",
-        "- Row 2 fwd+bwd uses the prebuilt fused step (10 pipelined steps).",
+        "- Row 2 fwd+bwd uses the prebuilt fused step (32 pipelined steps).",
         "- Rows 4/5 count potential ray-bounces (W*H*spp*depth); the",
         "  reference's linear-scan semantics make work proportional to",
         "  ray-bounces x primitives (row 5 sustains ~0.1 T prim-tests/s).",
