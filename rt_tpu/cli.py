@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=0, help="RNG seed")
     ap.add_argument("--mesh", default="",
                     help="shard over devices, e.g. '8' (rays) or '4x2' (rays x prims)")
+    ap.add_argument("--procedural", type=int, default=0, metavar="N",
+                    help="render the procedural N-sphere benchmark scene "
+                         "(BASELINE configs 4/5) instead of a TOML file")
     ap.add_argument("--watch", action="store_true",
                     help="re-render whenever the scene file changes (0.5 s mtime poll)")
     ap.add_argument("-i", "--interactive", action="store_true",
@@ -101,6 +104,8 @@ def main(argv=None) -> int:
     _log(f"created renderer: {desc.name}")
 
     def load_scene():
+        if args.procedural:
+            return rt_tpu.scene.make_procedural_scene(args.procedural)
         if args.scene.strip():
             return rt_tpu.load(args.scene.strip(), compat_colours=not args.true_colours)
         return rt_tpu.load_first_available(compat_colours=not args.true_colours)
@@ -158,7 +163,7 @@ def main(argv=None) -> int:
 
     do_render(scene)
 
-    if args.watch and scene.path:
+    if args.watch and not args.procedural and os.path.exists(scene.path or ""):
         _log("watching for changes (ctrl-c to stop)...")
         last = os.path.getmtime(scene.path)
         try:

@@ -64,3 +64,13 @@ def test_mesh_rejects_rasterizer(capsys):
     rc = main(["--scene", "/root/reference/scenes/basic.toml", "--renderer", "rasterizer",
                "--mesh", "4"])
     assert rc == 2
+
+
+def test_procedural_scene(tmp_path, capsys):
+    out = str(tmp_path / "proc.npy")
+    rc = main(["--procedural", "12", "--renderer", "rasterizer",
+               "--size", "16x12", "--out", out])
+    assert rc == 0
+    img = np.load(out)
+    assert img.shape == (12, 16, 3)
+    assert "<procedural:12>" in capsys.readouterr().out
