@@ -26,6 +26,11 @@ Mechanics:
 
 Same constraints as the forward megakernel: primitives baked as constants
 (recompile on scene change, cached by content), moderate primitive counts.
+
+Tile height (``rows``): the per-bounce VMEM stash grows linearly with the
+tile, so the kernel is VMEM-capacity-limited — measured on v5e-1 at
+800x600 @ 4 spp depth 8: rows=8 -> 244 Mrays/s, 16 -> 320, 32 -> 336
+(default), 64 -> scoped-VMEM OOM (20.4 MiB > 16 MiB limit).
 """
 
 from __future__ import annotations
@@ -479,7 +484,7 @@ def pallas_mse_loss_and_grad(
     spp: int = 4,
     max_bounces: Optional[int] = None,
     personality: str = "mg",
-    rows: int = 8,
+    rows: int = 32,
     rng_mode: str = "reference",
 ):
     """MSE loss + scene-parameter gradients, everything on-chip.
@@ -533,7 +538,7 @@ def make_mse_step(
     spp: int = 4,
     max_bounces: Optional[int] = None,
     personality: str = "mg",
-    rows: int = 8,
+    rows: int = 32,
     rng_mode: str = "reference",
 ):
     """Prebuilt fwd+bwd step: ``step(seed) -> (loss, grads)``.
