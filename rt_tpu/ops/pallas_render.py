@@ -5,9 +5,12 @@ intermediate through HBM; at ~3 KFLOP/ray the render is bandwidth- and
 launch-bound.  This kernel keeps *everything* in VMEM/registers: each grid
 step owns a (ROWS, 128) tile of pixels and runs raygen → bounce loop →
 sample accumulation → gamma entirely on-chip.  HBM traffic is one float3
-per pixel — speed-of-light for this workload (measured ~750 Mrays/s on
-v5e-1 vs ~54 Mrays/s for the jnp path and ~37 Mrays/s for the reference's
-CPU renderer re-implemented in C++ with -march=native).
+per pixel — speed-of-light for this workload (measured 1164 Mrays/s
+sustained on v5e-1 through :func:`make_render_step`, 1.65 ms per
+800x600@4spp frame, vs ~54 Mrays/s for the jnp path and ~37 Mrays/s for
+the reference's CPU renderer re-implemented in C++ with -march=native;
+the per-call :func:`render_forward_pallas` wrapper adds ~25-30 ms of
+host->device upload round trips through the remote tunnel).
 
 Design notes:
 
@@ -55,7 +58,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..materials import personality_classes
 
-__all__ = ["render_forward_pallas", "pallas_supported", "MAX_UNROLL_PRIMS"]
+__all__ = ["render_forward_pallas", "make_render_step", "pallas_supported",
+           "MAX_UNROLL_PRIMS"]
 
 _BIG = 3.0e38
 _MIN_HIT = 0.001
@@ -601,9 +605,77 @@ def render_forward_pallas(
             np.tan(scene.camera.vfov * 0.5), w / h, scene.camera.near, 0.0
         ], jnp.float32),
     ])
+    return run(cam, _chunk_seeds(seed, n_chunks))
+
+
+def _chunk_seeds(seed: int, n_chunks: int) -> jax.Array:
+    """Derive the per-sample-chunk seed chain (one tiny int32 upload)."""
     seeds = []
     chunk_seed = seed
     for _ in range(n_chunks):
         seeds.append(chunk_seed)
         chunk_seed = int((chunk_seed * 1103515245 + 12345) % (2**31 - 1))
-    return run(cam, jnp.asarray(seeds, jnp.int32))
+    return jnp.asarray(seeds, jnp.int32)
+
+
+def make_render_step(
+    scene,
+    size: tuple[int, int],
+    *,
+    personality: str = "mg",
+    spp: Optional[int] = None,
+    max_bounces: Optional[int] = None,
+    rows: int = 16,
+    spp_unroll: int = 4,
+    gamma: bool = True,
+    rng_mode: str = "reference",
+    center_sample: Optional[bool] = None,
+):
+    """Prebuilt frame renderer: ``step(seed=0, camera=None) -> (H, W, 3)``.
+
+    The forward analogue of :func:`rt_tpu.ops.pallas_grad.make_mse_step`:
+    table flattening, kernel lookup and the camera upload happen ONCE; each
+    call then ships a single int32 seed vector (plus 15 floats when
+    ``camera`` — a ``rt_tpu.camera.Camera`` — is passed for motion).  Through
+    the remote-TPU tunnel the per-frame wrapper work of
+    :func:`render_forward_pallas` costs ~25-30 ms/frame (several small
+    host->device uploads); the prebuilt step brings an 800x600@4spp frame
+    back to kernel-bound (~3 ms).  Intended for animation/interactive loops
+    (the viewer's steady state) and serving.
+    """
+    if not pallas_supported(scene):
+        raise ValueError(
+            "scene exceeds the unrolled megakernel limits "
+            f"({MAX_UNROLL_PRIMS} primitives, no boxes) — use the jnp path"
+        )
+    w, h = size
+    if spp is None:
+        spp = scene.samples_per_pixel
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    spp_unroll = min(spp_unroll, spp)
+
+    s_cols, p_cols = _flatten_primitives(scene, personality)
+    run, n_chunks = _compiled_frame(
+        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
+        width=w, height=h, spp=spp, spp_unroll=spp_unroll,
+        max_bounces=max_bounces, rows=rows, rng_mode=rng_mode, gamma=gamma,
+        center_first=(True if center_sample is None else center_sample),
+    )
+
+    def _pack(camera) -> jax.Array:
+        return jnp.concatenate([
+            jnp.asarray(camera.position, jnp.float32),
+            jnp.asarray(camera.rotation, jnp.float32).reshape(-1),
+            jnp.asarray([
+                np.tan(camera.vfov * 0.5), w / h, camera.near, 0.0
+            ], jnp.float32),
+        ])
+
+    cam0 = _pack(scene.camera)
+
+    def step(seed: int = 0, camera=None) -> jax.Array:
+        cam = cam0 if camera is None else _pack(camera)
+        return run(cam, _chunk_seeds(seed, n_chunks))
+
+    return step

@@ -65,3 +65,20 @@ def test_unsupported_scene_raises():
     big = rt_tpu.scene.make_procedural_scene(MAX_UNROLL_PRIMS + 100)
     with pytest.raises(ValueError, match="exceeds"):
         render_forward_pallas(big, (8, 8), spp=1, max_bounces=1)
+
+
+def test_make_render_step_structure():
+    from rt_tpu.ops.pallas_render import _chunk_seeds, make_render_step
+
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    # builds without touching the device; unsupported scenes still raise
+    step = make_render_step(s, (64, 48), spp=4)
+    assert callable(step)
+    big = rt_tpu.scene.make_procedural_scene(MAX_UNROLL_PRIMS + 100)
+    with pytest.raises(ValueError):
+        make_render_step(big, (64, 48))
+    # the per-chunk seed chain matches render_forward_pallas's documented LCG
+    seeds = np.asarray(_chunk_seeds(7, 3))
+    assert seeds[0] == 7
+    assert seeds[1] == (7 * 1103515245 + 12345) % (2**31 - 1)
+    assert seeds[2] == (int(seeds[1]) * 1103515245 + 12345) % (2**31 - 1)
