@@ -30,6 +30,27 @@ albedo, IOR, class...) is extracted with masked sublane reductions — the
 dynamic-table analogue of the one-hot contraction used by the jnp path
 (rt_tpu.ops.intersect._select_min), with the same no-gather rationale.
 
+MXU path (``mxu=True``, experimental, off by default): the two dominating
+per-pair computations are matmul-shaped and can move off the VPU onto the
+systolic array.  (1) The intersection dot products: with the primitive
+table stored transposed as (16, N) payload-rows x primitive-lanes,
+``oc.d = o.d - C@D`` and ``|oc|^2 - r^2 = |o|^2 + [cnorm, -2c]@[1, o]``
+become two K<=4 ``dot_general`` calls per (128-primitive x 128-ray) block.
+(2) Winner-payload extraction: the per-block one-hot winner mask (128, 128)
+contracts against the payload table block (16, 128) in ONE K=128 matmul,
+replacing ten masked sublane reductions.  Both use ``Precision.HIGHEST``
+(f32 via bf16 passes): the one-hot contraction is then *exact* — each f32
+payload value splits exactly across the bf16 passes and the MXU accumulates
+in f32, so the winner's centre/IOR/class come out bit-identical to a VPU
+select.  **Measured on v5e-1 it LOSES to the VPU scan** (500-sphere
+800x600@8spp: 193 -> 281 ms; 5000-sphere: 235 -> 318 ms): K<=4 and
+6-pass-HIGHEST matmuls issued inside a serial, carry-dependent
+``fori_loop`` are MXU-pipeline-fill-bound, while the VPU scan keeps every
+(8x128) op fully packed.  Kept as an option because the layout groundwork
+(transposed tables, one-hot contraction) is what a future
+whole-table-batched matmul formulation needs; parity with the VPU scan is
+within one silhouette pixel (different rounding of the expanded quadratic).
+
 Tie-breaking matches the reference (mg_ray_tracer.cpp:95-102): planes are
 scanned first with strict '<' (earliest index wins — blocks are visited in
 index order and rows within a block break ties by first row), then spheres
@@ -97,6 +118,23 @@ def _padded_table(cols: np.ndarray, bucket: int) -> np.ndarray:
     return out
 
 
+def _padded_table_mxu(cols: np.ndarray, bucket: int, kind: str) -> np.ndarray:
+    """(10, count) column payload -> transposed (16, bucket) table for the
+    MXU scan: payload rows 0-9 as in :func:`_padded_table`; spheres
+    additionally get row 10 = |c|^2 - r^2 and rows 11-13 = -2c, so the
+    quadratic term is one K=4 matmul against [1, ox, oy, oz]."""
+    out = np.zeros((_COLS, bucket), np.float32)
+    n = cols.shape[1]
+    out[:10, :n] = cols
+    if kind == "sphere" and n:
+        cx, cy, cz, rad = cols[0], cols[1], cols[2], cols[3]
+        out[10, :n] = cx * cx + cy * cy + cz * cz - rad * rad
+        out[11, :n] = -2.0 * cx
+        out[12, :n] = -2.0 * cy
+        out[13, :n] = -2.0 * cz
+    return out
+
+
 def _hash_u01(pix, seed, ctr: int, shape):
     """Portable counter-based U[0,1): lowbias32-style avalanche on int32
     vectors (wrapping multiplies), then the top 24 bits.  Identical under
@@ -122,12 +160,18 @@ def _hw_u01(shape):
 
 def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                            max_bounces, rng_mode, rng_impl, center_sample,
-                           block=_BLOCK):
+                           block=_BLOCK, mxu=False):
     """Kernel body.  Refs: meta (SMEM scalars: seed, sphere count, plane
-    count), cam (SMEM scalars), sphere table (s_pad, 16) VMEM, plane table
-    (p_pad, 16) VMEM, out (1, 3, 128) VMEM block."""
+    count), cam (SMEM scalars), sphere table (s_pad, 16) VMEM — or
+    transposed (16, s_pad) when ``mxu`` — plane table likewise, out
+    (1, 3, 128) VMEM block."""
     f32 = jnp.float32
     shape = (1, _LANES)
+    _dot = functools.partial(
+        jax.lax.dot_general,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
     def kernel(meta_ref, cam_ref, sph_ref, pln_ref, out_ref):
         # meta[3] is a tile offset: under the sharded entry point each
@@ -295,12 +339,99 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     )
                     return new
 
+                if mxu:
+                    # per-bounce ray-side matmul operands (K on sublanes)
+                    d3 = jnp.concatenate([dx, dy, dz], axis=0)          # (3,L)
+                    o4s = jnp.concatenate([one, ox, oy, oz], axis=0)    # (4,L)
+                    o4p = jnp.concatenate([ox, oy, oz, one], axis=0)    # (4,L)
+                    odot = ox * dx + oy * dy + oz * dz
+                    onorm = ox * ox + oy * oy + oz * oz
+
+                def scan_planes_mxu(ib, carry):
+                    blk = pln_ref[:, pl.ds(ib * block, block)]  # (16, B)
+                    nd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
+                    no = _dot(blk[0:4], o4p, (((0,), (0,)), ((), ())))
+                    safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
+                    t = -no / safe
+                    valid = (ib * block + rowi) < n_pln
+                    ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
+                    t = jnp.where(ok, t, f32(_BIG))
+                    tmin = jnp.min(t, axis=0, keepdims=True)
+                    winrow = jnp.min(jnp.where(t == tmin, rowf, f32(1e9)),
+                                     axis=0, keepdims=True)
+                    msk = ((t == tmin) & (rowf == winrow)).astype(f32)
+                    best_t = carry[0]
+                    better = tmin < best_t  # strict: earliest index wins
+                    # winner payload: one-hot contraction on the MXU (exact:
+                    # f32 values split exactly over the bf16 passes, 0/1
+                    # mask, f32 accumulate)
+                    pay = _dot(blk, msk, (((1,), (0,)), ((), ())))  # (16, L)
+                    new = (
+                        jnp.where(better, tmin, best_t),
+                        carry[1], carry[2], carry[3],
+                        jnp.where(better, pay[0:1], carry[4]),
+                        jnp.where(better, pay[1:2], carry[5]),
+                        jnp.where(better, pay[2:3], carry[6]),
+                        jnp.where(better, pay[4:5], carry[7]),
+                        jnp.where(better, pay[5:6], carry[8]),
+                        jnp.where(better, pay[6:7], carry[9]),
+                        jnp.where(better, pay[7:8], carry[10]),
+                        jnp.where(better, pay[8:9], carry[11]),
+                        jnp.where(better, pay[9:10], carry[12]),
+                        jnp.where(better, one, carry[13]),
+                    )
+                    return new
+
+                def scan_spheres_mxu(ib, carry):
+                    blk = sph_ref[:, pl.ds(ib * block, block)]  # (16, B)
+                    # bq = oc.d = o.d - C@D; c0 = |oc|^2 - r^2
+                    #    = |o|^2 + [cnorm, -2c] @ [1, o]
+                    cd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
+                    c0p = _dot(blk[10:14], o4s, (((0,), (0,)), ((), ())))
+                    bq = odot - cd
+                    c0 = onorm + c0p
+                    disc = bq * bq - c0
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    t0 = -bq - sq
+                    t1 = -bq + sq
+                    t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+                    valid = (ib * block + rowi) < n_sph
+                    ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
+                    t = jnp.where(ok, t, f32(_BIG))
+                    tmin = jnp.min(t, axis=0, keepdims=True)
+                    winrow = jnp.min(jnp.where(t == tmin, rowf, f32(1e9)),
+                                     axis=0, keepdims=True)
+                    msk = ((t == tmin) & (rowf == winrow)).astype(f32)
+                    best_t = carry[0]
+                    # spheres win a plane tie, strict '<' among themselves
+                    better = (tmin < best_t) | (
+                        (tmin == best_t) & (carry[13] > 0.0) & (tmin < f32(_BIG))
+                    )
+                    pay = _dot(blk, msk, (((1,), (0,)), ((), ())))  # (16, L)
+                    new = (
+                        jnp.where(better, tmin, best_t),
+                        jnp.where(better, pay[0:1], carry[1]),
+                        jnp.where(better, pay[1:2], carry[2]),
+                        jnp.where(better, pay[2:3], carry[3]),
+                        carry[4], carry[5], carry[6],
+                        jnp.where(better, pay[4:5], carry[7]),
+                        jnp.where(better, pay[5:6], carry[8]),
+                        jnp.where(better, pay[6:7], carry[9]),
+                        jnp.where(better, pay[7:8], carry[10]),
+                        jnp.where(better, pay[8:9], carry[11]),
+                        jnp.where(better, pay[9:10], carry[12]),
+                        jnp.where(better, zero, carry[13]),
+                    )
+                    return new
+
                 n_pblk = (n_pln + block - 1) // block
                 n_sblk = (n_sph + block - 1) // block
+                plane_fn = scan_planes_mxu if mxu else scan_planes
+                sphere_fn = scan_spheres_mxu if mxu else scan_spheres
 
                 def do_scan(_):
-                    rec = jax.lax.fori_loop(0, n_pblk, scan_planes, init)
-                    return jax.lax.fori_loop(0, n_sblk, scan_spheres, rec)
+                    rec = jax.lax.fori_loop(0, n_pblk, plane_fn, init)
+                    return jax.lax.fori_loop(0, n_sblk, sphere_fn, rec)
 
                 if b == 0:
                     hitrec = do_scan(None)
@@ -434,24 +565,26 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
 @functools.lru_cache(maxsize=32)
 def _compiled_bw(*, width, height, s_pad, p_pad, spp_unroll, max_bounces,
                  rng_mode, rng_impl, center_sample, interpret, block=_BLOCK,
-                 n_tiles=None):
+                 n_tiles=None, mxu=False):
     kernel = _make_blockwise_kernel(
         width=width, height=height, s_pad=s_pad, p_pad=p_pad,
         spp_unroll=spp_unroll, max_bounces=max_bounces, rng_mode=rng_mode,
-        rng_impl=rng_impl, center_sample=center_sample, block=block,
+        rng_impl=rng_impl, center_sample=center_sample, block=block, mxu=mxu,
     )
     if n_tiles is None:
         n = width * height
         n_tiles = -(-n // _LANES)
+    s_spec = (_COLS, s_pad) if mxu else (s_pad, _COLS)
+    p_spec = (_COLS, p_pad) if mxu else (p_pad, _COLS)
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # meta, cam
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((s_pad, _COLS), lambda i, *_: (0, 0),
+                pl.BlockSpec(s_spec, lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((p_pad, _COLS), lambda i, *_: (0, 0),
+                pl.BlockSpec(p_spec, lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, 3, 1, _LANES),
@@ -467,7 +600,7 @@ def _compiled_bw(*, width, height, s_pad, p_pad, spp_unroll, max_bounces,
 @functools.lru_cache(maxsize=32)
 def _compiled_frame_bw(*, width, height, s_pad, p_pad, spp, spp_unroll,
                        max_bounces, rng_mode, rng_impl, gamma, center_first,
-                       interpret, block=_BLOCK):
+                       interpret, block=_BLOCK, mxu=False):
     """Jitted frame: chained sample-chunk kernels + mean + gamma + crop in
     ONE dispatch; primitive tables and camera are traced inputs."""
     chunk_sizes = []
@@ -481,7 +614,7 @@ def _compiled_frame_bw(*, width, height, s_pad, p_pad, spp, spp_unroll,
                      spp_unroll=k, max_bounces=max_bounces, rng_mode=rng_mode,
                      rng_impl=rng_impl,
                      center_sample=(i == 0 and center_first),
-                     interpret=interpret, block=block)
+                     interpret=interpret, block=block, mxu=mxu)
         for i, k in enumerate(chunk_sizes)
     ]
     n = width * height
@@ -516,6 +649,7 @@ def render_forward_blockwise(
     center_sample: Optional[bool] = None,
     interpret: bool = False,
     block: Optional[int] = None,
+    mxu: Optional[bool] = None,
     **_unused,
 ) -> jax.Array:
     """Render a full frame with the blockwise megakernel.  (H, W, 3) f32.
@@ -540,21 +674,27 @@ def render_forward_blockwise(
     s_cols, p_cols = _flatten_primitives(scene, personality)
     s_pad = _bucket(scene.spheres.count)
     p_pad = _bucket(scene.planes.count)
-    s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
-    p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
     if block is None:
         # bigger blocks amortize the per-block argmin/extract overhead and
         # shorten the serial fori_loop chain: measured on v5e, 500-sphere
         # 800x600@8spp runs 13.2 (block=8) -> 40.4 (32) -> 56.6 (64) ->
         # 66.7 Mrays/s (128).  Small tables stay at one (8,128) f32 tile.
         block = _BLOCK if max(s_pad, p_pad) <= 128 else 128
+    if mxu is None:
+        mxu = False  # measured slower than the VPU scan on v5e (see module doc)
+    if mxu:
+        s_tab = jnp.asarray(_padded_table_mxu(s_cols, s_pad, "sphere"))
+        p_tab = jnp.asarray(_padded_table_mxu(p_cols, p_pad, "plane"))
+    else:
+        s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
+        p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
 
     run, n_chunks = _compiled_frame_bw(
         width=w, height=h, s_pad=s_pad, p_pad=p_pad, spp=spp,
         spp_unroll=spp_unroll, max_bounces=max_bounces, rng_mode=rng_mode,
         rng_impl=rng_impl, gamma=gamma,
         center_first=(True if center_sample is None else center_sample),
-        interpret=interpret, block=block,
+        interpret=interpret, block=block, mxu=mxu,
     )
 
     cam = jnp.concatenate([
@@ -595,6 +735,7 @@ def render_forward_blockwise_sharded(
     center_sample: Optional[bool] = None,
     interpret: bool = False,
     block: Optional[int] = None,
+    mxu: Optional[bool] = None,
     **_unused,
 ) -> jax.Array:
     """Blockwise megakernel frame sharded over ``mesh[axis]`` (H, W, 3) f32.
@@ -624,10 +765,16 @@ def render_forward_blockwise_sharded(
     s_cols, p_cols = _flatten_primitives(scene, personality)
     s_pad = _bucket(scene.spheres.count)
     p_pad = _bucket(scene.planes.count)
-    s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
-    p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
     if block is None:
         block = _BLOCK if max(s_pad, p_pad) <= 128 else 128
+    if mxu is None:
+        mxu = False
+    if mxu:
+        s_tab = jnp.asarray(_padded_table_mxu(s_cols, s_pad, "sphere"))
+        p_tab = jnp.asarray(_padded_table_mxu(p_cols, p_pad, "plane"))
+    else:
+        s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
+        p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
 
     n_dev = mesh.shape[axis]
     n = w * h
@@ -646,7 +793,8 @@ def render_forward_blockwise_sharded(
                      spp_unroll=k, max_bounces=max_bounces, rng_mode=rng_mode,
                      rng_impl=rng_impl,
                      center_sample=(i == 0 and center_first),
-                     interpret=interpret, block=block, n_tiles=local_tiles)
+                     interpret=interpret, block=block, n_tiles=local_tiles,
+                     mxu=mxu)
         for i, k in enumerate(chunk_sizes)
     ]
 
