@@ -31,6 +31,12 @@ Tile height (``rows``): the per-bounce VMEM stash grows linearly with the
 tile, so the kernel is VMEM-capacity-limited — measured on v5e-1 at
 800x600 @ 4 spp depth 8: rows=8 -> 244 Mrays/s, 16 -> 320, 32 -> 336
 (default), 64 -> scoped-VMEM OOM (20.4 MiB > 16 MiB limit).
+
+``lean=True`` attacks that cap: the reverse sweep needs the winner
+*identity*, not the winner's values — the payload is recomputed bit-exactly
+from the stashed winner index + the baked primitive constants, and the 13
+decision masks pack into one int32 bitfield, shrinking the stash from 41 to
+14 tile arrays per bounce so 64/128-row tiles fit.
 """
 
 from __future__ import annotations
@@ -67,8 +73,19 @@ def pallas_grad_supported(scene) -> bool:
     )
 
 
+# order of the decision bits in the packed int32 stash word (lean mode)
+_BITS = ("hit", "live_h", "miss", "alive", "ispl", "root", "ldeg",
+         "mabs", "refl_bit", "tir", "inside", "is_met", "is_die")
+
+
 def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
-                      rng_mode, center_sample):
+                      rng_mode, center_sample, lean=False):
+    """``lean=True`` shrinks the per-bounce VMEM stash from 41 to 14 tile
+    arrays: the winner payload (13 arrays) is *recomputed* in the reverse
+    sweep from the stashed winner index + the baked primitive constants
+    (bit-exact — the forward values ARE those constants), and the 13
+    decision masks pack into one int32 bitfield.  The stash is what caps
+    the tile height (rows), so lean mode unlocks 64-128-row tiles."""
     n_spheres = s_cols.shape[1]
     n_planes = p_cols.shape[1]
     f32 = jnp.float32
@@ -245,17 +262,31 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
             alive = live_h & ~(is_met & mabs)
             miss = lv & ~hit
 
-            stash.append(dict(
-                o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
-                pay=(bcx, bcy, bcz, brad, bpnx, bpny, bpnz, bpdd,
-                     bar, bag, bab, brf, brg),
-                u=(ux, uy, uz),
-                bits=dict(hit=hit, live_h=live_h, miss=miss, alive=alive,
-                          ispl=ispl, root=broot > 0.0, ldeg=ldeg,
-                          mabs=mabs, refl_bit=refl_bit, tir=tir,
-                          inside=inside, is_met=is_met, is_die=is_die),
-                bidx=bidx, bpl=bpl, t_best=best_t,
-            ))
+            bits = dict(hit=hit, live_h=live_h, miss=miss, alive=alive,
+                        ispl=ispl, root=broot > 0.0, ldeg=ldeg,
+                        mabs=mabs, refl_bit=refl_bit, tir=tir,
+                        inside=inside, is_met=is_met, is_die=is_die)
+            if lean:
+                packed = jnp.zeros((rows, 128), jnp.int32)
+                for k, name in enumerate(_BITS):
+                    packed = packed | jnp.where(bits[name],
+                                                jnp.int32(1 << k),
+                                                jnp.int32(0))
+                stash.append(dict(
+                    o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
+                    pay=(bcx, bcy, bcz, brad, bpnx, bpny, bpnz, bpdd,
+                         bar, bag, bab, brf, brg),
+                    u=(ux, uy, uz), bits=bits, packed=packed, bidx=bidx,
+                ))
+            else:
+                stash.append(dict(
+                    o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
+                    pay=(bcx, bcy, bcz, brad, bpnx, bpny, bpnz, bpdd,
+                         bar, bag, bab, brf, brg),
+                    u=(ux, uy, uz),
+                    bits=bits,
+                    bidx=bidx, bpl=bpl, t_best=best_t,
+                ))
 
             # forward state update (same math as the smooth map below)
             o_n, d_n, thr_n, _ = _bounce_smooth(
@@ -277,8 +308,53 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
 
         for b in reversed(range(max_bounces)):
             st = stash[b]
+            if lean:
+                # unpack decisions + rebuild the winner payload from the
+                # baked constants — bit-exact (the forward payload IS the
+                # winner's constants, or the defaults below on a miss).
+                # Referencing only packed/bidx here is the point: the full
+                # forward payload/bit arrays die at their bounce and never
+                # occupy stash VMEM.
+                packed = st["packed"]
+                rbits = {name: ((packed >> k) & 1) > 0
+                         for k, name in enumerate(_BITS)}
+                hitb = rbits["hit"]
+                isplb = rbits["ispl"]
+                rcx = rcy = rcz = zero
+                rrad = one
+                rpnx = rpny = rpnz = rpdd = zero
+                rar = rag = rab = zero
+                rrf = one
+                rrg = zero
+                sph_m = hitb & ~isplb
+                for si in range(n_spheres):
+                    m = sph_m & (st["bidx"] == f32(si))
+                    rcx = jnp.where(m, float(s_cols[0, si]), rcx)
+                    rcy = jnp.where(m, float(s_cols[1, si]), rcy)
+                    rcz = jnp.where(m, float(s_cols[2, si]), rcz)
+                    rrad = jnp.where(m, float(s_cols[3, si]), rrad)
+                    rar = jnp.where(m, float(s_cols[4, si]), rar)
+                    rag = jnp.where(m, float(s_cols[5, si]), rag)
+                    rab = jnp.where(m, float(s_cols[6, si]), rab)
+                    rrf = jnp.where(m, float(s_cols[7, si]), rrf)
+                    rrg = jnp.where(m, float(s_cols[8, si]), rrg)
+                for p in range(n_planes):
+                    m = isplb & (st["bidx"] == f32(p))
+                    rpnx = jnp.where(m, float(p_cols[0, p]), rpnx)
+                    rpny = jnp.where(m, float(p_cols[1, p]), rpny)
+                    rpnz = jnp.where(m, float(p_cols[2, p]), rpnz)
+                    rpdd = jnp.where(m, float(p_cols[3, p]), rpdd)
+                    rar = jnp.where(m, float(p_cols[4, p]), rar)
+                    rag = jnp.where(m, float(p_cols[5, p]), rag)
+                    rab = jnp.where(m, float(p_cols[6, p]), rab)
+                    rrf = jnp.where(m, float(p_cols[7, p]), rrf)
+                    rrg = jnp.where(m, float(p_cols[8, p]), rrg)
+                st = dict(st, bits=rbits,
+                          pay=(rcx, rcy, rcz, rrad, rpnx, rpny, rpnz, rpdd,
+                               rar, rag, rab, rrf, rrg),
+                          bpl=isplb.astype(f32))
 
-            def fb(o3, d3, thr3, pay):
+            def fb(o3, d3, thr3, pay, st=st):
                 return _bounce_smooth(o3, d3, thr3, pay, st["u"], st["bits"])
 
             primals = (st["o"], st["d"], st["thr"], st["pay"])
@@ -436,12 +512,12 @@ def _bounce_smooth(o3, d3, thr3, pay, u3, bits):
 
 @functools.lru_cache(maxsize=32)
 def _compiled_grad(scene_bytes, shapes, *, width, height, max_bounces, rows,
-                   rng_mode, center_sample):
+                   rng_mode, center_sample, lean=False):
     s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
     p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
     kernel = _make_grad_kernel(
         s_cols, p_cols, width=width, height=height, max_bounces=max_bounces,
-        rows=rows, rng_mode=rng_mode, center_sample=center_sample,
+        rows=rows, rng_mode=rng_mode, center_sample=center_sample, lean=lean,
     )
     n = width * height
     n_tiles = -(-n // (rows * 128))
@@ -486,6 +562,8 @@ def pallas_mse_loss_and_grad(
     personality: str = "mg",
     rows: int = 32,
     rng_mode: str = "reference",
+    lean: bool = False,
+    fwd_rows: Optional[int] = None,
 ):
     """MSE loss + scene-parameter gradients, everything on-chip.
 
@@ -514,7 +592,7 @@ def pallas_mse_loss_and_grad(
         bytes(np.asarray(concrete.spheres.material, np.int32)[:concrete.spheres.count]),
         bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
         width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
-        rng_mode=rng_mode,
+        rng_mode=rng_mode, lean=lean, fwd_rows=fwd_rows,
         S_table=scene.spheres.center.shape[0],
         M_table=scene.materials.albedo.shape[0],
     )
@@ -540,6 +618,8 @@ def make_mse_step(
     personality: str = "mg",
     rows: int = 32,
     rng_mode: str = "reference",
+    lean: bool = False,
+    fwd_rows: Optional[int] = None,
 ):
     """Prebuilt fwd+bwd step: ``step(seed) -> (loss, grads)``.
 
@@ -564,7 +644,7 @@ def make_mse_step(
         bytes(np.asarray(concrete.spheres.material, np.int32)[:concrete.spheres.count]),
         bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
         width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
-        rng_mode=rng_mode,
+        rng_mode=rng_mode, lean=lean, fwd_rows=fwd_rows,
         S_table=scene.spheres.center.shape[0],
         M_table=scene.materials.albedo.shape[0],
     )
@@ -586,7 +666,7 @@ def make_mse_step(
 @functools.lru_cache(maxsize=16)
 def _compiled_pipeline(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
                        width, height, spp, max_bounces, rows, rng_mode,
-                       S_table, M_table):
+                       S_table, M_table, lean=False, fwd_rows=None):
     """One jitted dispatch: forward frame + loss + per-sample grad kernels +
     gradient assembly."""
     from .pallas_render import _compiled
@@ -602,13 +682,13 @@ def _compiled_pipeline(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
     fwd_calls = [
         _compiled(scene_bytes, shapes, spp_unroll=1, rng_mode=rng_mode,
                   center_sample=(s == 0), width=width, height=height,
-                  max_bounces=max_bounces, rows=rows)
+                  max_bounces=max_bounces, rows=fwd_rows or rows)
         for s in range(min(spp, 2))
     ]
     grad_calls = [
         _compiled_grad(scene_bytes, shapes, width=width, height=height,
                        max_bounces=max_bounces, rows=rows, rng_mode=rng_mode,
-                       center_sample=(s == 0))
+                       center_sample=(s == 0), lean=lean)
         for s in range(min(spp, 2))
     ]
 
