@@ -115,6 +115,8 @@ def pallas_loss_and_grad(
     max_bounces: int = 8,
     personality: str = "mg",
     rng_mode: str = "reference",
+    rng_impl: str = "hw",
+    interpret: bool = False,
 ):
     """(loss, grads) with the Pallas megakernel as the forward/record pass
     and the jnp replay as the differentiable pass.
@@ -141,6 +143,7 @@ def pallas_loss_and_grad(
         _scene_static_key(scene),
         width=w, height=h, spp=spp, max_bounces=max_bounces,
         personality=personality, rng_mode=rng_mode,
+        rng_impl=rng_impl, interpret=interpret,
     )
     seeds = jnp.asarray([seed * 100003 + s for s in range(spp)], jnp.int32)
     return run(params, scene, jnp.asarray(target), seeds)
@@ -158,7 +161,8 @@ def _scene_static_key(scene):
 
 @functools.lru_cache(maxsize=8)
 def _records_pipeline(scene_bytes, shapes, static_key, *, width, height, spp,
-                      max_bounces, personality, rng_mode):
+                      max_bounces, personality, rng_mode,
+                      rng_impl="hw", interpret=False):
     """Jitted end-to-end records pipeline: record kernels (baked constants) +
     differentiable replay + MSE value_and_grad in ONE dispatch."""
     import jax.numpy as jnp
@@ -175,7 +179,8 @@ def _records_pipeline(scene_bytes, shapes, static_key, *, width, height, spp,
     rec_calls = [
         _compiled_record(scene_bytes, shapes, width=w, height=h,
                          max_bounces=max_bounces, rows=rows,
-                         rng_mode=rng_mode, center_sample=(s == 0))
+                         rng_mode=rng_mode, center_sample=(s == 0),
+                         rng_impl=rng_impl, interpret=interpret)
         for s in range(min(spp, 2))
     ]
     grid = _pixel_grid((w, h))

@@ -280,7 +280,8 @@ def render_rasterizer(
     o, d = generate_rays(scene.camera, size, grid + 0.5)
 
     rec = closest_hit(scene.spheres, scene.planes, scene.boxes, o, d,
-                      include_boxes=True, box_normals_up=True)
+                      include_boxes=True, box_normals_up=True,
+                      tie_order="rasterizer")
     # Out-of-range guard (rasterizer.cpp:33-35): hits are sought below
     # max_dist + 1 where max_dist = |far_pos - near_pos|; anything at
     # t >= that initial best is a miss.  t here is measured from the near

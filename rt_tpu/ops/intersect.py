@@ -196,6 +196,7 @@ def closest_hit(
     include_boxes: bool = False,
     box_normals_up: bool = False,
     sphere_result=None,
+    tie_order: str = "tracer",
 ) -> HitRecord:
     """Closest hit over the whole scene for a flat ray batch.
 
@@ -206,6 +207,11 @@ def closest_hit(
         mg_ray_tracer.cpp:89-93); True tests boxes (rasterizer.cpp:61-63).
       box_normals_up: reproduce the rasterizer's never-assigned box normal
         (stays 'up', rasterizer.cpp:38,55-58).
+      tie_order: exact-tie winner convention.  "tracer" = the path tracers'
+        ``select()`` chain (planes scanned first, spheres then win a tie,
+        mg_ray_tracer.cpp:95-102, 160-162).  "rasterizer" = the preview's
+        single scan planes → boxes → spheres with strict '<', so the
+        *earlier-scanned* class keeps an exact tie (rasterizer.cpp:41-63).
     """
     n = origins.shape[0]
 
@@ -216,19 +222,27 @@ def closest_hit(
     tpm = plane_t_matrix(origins, dirs, planes.normal, planes.d, planes.count, min_dist=min_dist)
     tp, ip, p_onehot = _select_min(tpm)
 
-    # select(a=spheres, b=planes): a wins ties (mg_ray_tracer.cpp:95-102).
-    sphere_wins = ts <= tp
     if include_boxes and boxes.count > 0:
         tb, ib = hit_boxes(origins, dirs, boxes.center, boxes.extents, boxes.count, min_dist=min_dist)
     else:
         tb = jnp.full((n,), _BIG)
         ib = jnp.zeros((n,), jnp.int32)
 
-    # Combine: spheres beat planes at ties; boxes beat planes at ties but
-    # lose to spheres (select chain mg_ray_tracer.cpp:160-162).
-    t_sp = jnp.where(sphere_wins, ts, tp)
-    box_wins = tb < t_sp
-    t = jnp.where(box_wins, tb, t_sp)
+    if tie_order == "rasterizer":
+        # planes → boxes → spheres, strict '<': earlier class keeps ties.
+        box_over_p = tb < tp
+        t_pb = jnp.where(box_over_p, tb, tp)
+        sphere_sel = ts < t_pb
+        box_sel = box_over_p & ~sphere_sel
+        t = jnp.where(sphere_sel, ts, t_pb)
+    else:
+        # select(a=spheres, b=planes): a wins ties; boxes beat planes at
+        # ties but lose to spheres (select chain mg_ray_tracer.cpp:160-162).
+        sphere_wins = ts <= tp
+        t_sp = jnp.where(sphere_wins, ts, tp)
+        box_sel = tb < t_sp
+        sphere_sel = sphere_wins & ~box_sel
+        t = jnp.where(box_sel, tb, t_sp)
     hit = t < _BIG
 
     # Normals & material ids by winner class (one-hot contraction for the
@@ -242,21 +256,21 @@ def closest_hit(
     else:
         box_n = jnp.zeros((n, 3), jnp.float32)
 
-    normal = jnp.where(sphere_wins[:, None] & ~box_wins[:, None], sphere_n, plane_n)
-    normal = jnp.where(box_wins[:, None], box_n, normal)
+    normal = jnp.where(sphere_sel[:, None], sphere_n, plane_n)
+    normal = jnp.where(box_sel[:, None], box_n, normal)
 
-    mat = jnp.where(sphere_wins, sphere_m, planes.material[ip])
+    mat = jnp.where(sphere_sel, sphere_m, planes.material[ip])
     if include_boxes and boxes.count > 0:
-        mat = jnp.where(box_wins, boxes.material[ib], mat)
+        mat = jnp.where(box_sel, boxes.material[ib], mat)
 
-    kind = jnp.where(sphere_wins & (ts < _BIG), 1, jnp.where(tp < _BIG, 2, 0))
-    kind = jnp.where(box_wins, 3, kind)
+    kind = jnp.where(sphere_sel & (ts < _BIG), 1, jnp.where(tp < _BIG, 2, 0))
+    kind = jnp.where(box_sel, 3, kind)
     kind = jnp.where(hit, kind, 0)
-    idx = jnp.where(sphere_wins, sphere_i, ip.astype(jnp.int32))
+    idx = jnp.where(sphere_sel, sphere_i, ip.astype(jnp.int32))
     if include_boxes and boxes.count > 0:
-        idx = jnp.where(box_wins, ib.astype(jnp.int32), idx)
+        idx = jnp.where(box_sel, ib.astype(jnp.int32), idx)
 
     return HitRecord(
         t=t, normal=normal, material=mat.astype(jnp.int32), hit=hit,
-        kind=kind.astype(jnp.int32), idx=idx, root_lo=root_lo & sphere_wins,
+        kind=kind.astype(jnp.int32), idx=idx, root_lo=root_lo & sphere_sel,
     )

@@ -77,7 +77,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_render import _flatten_primitives
+from .pallas_render import _flatten_primitives, _hash_u01
 
 __all__ = [
     "render_forward_blockwise",
@@ -133,23 +133,6 @@ def _padded_table_mxu(cols: np.ndarray, bucket: int, kind: str) -> np.ndarray:
         out[12, :n] = -2.0 * cy
         out[13, :n] = -2.0 * cz
     return out
-
-
-def _hash_u01(pix, seed, ctr: int, shape):
-    """Portable counter-based U[0,1): lowbias32-style avalanche on int32
-    vectors (wrapping multiplies), then the top 24 bits.  Identical under
-    Mosaic and pallas interpret mode."""
-    i32 = jnp.int32
-    x = pix * i32(-1640531527) + seed * i32(97929) + i32(ctr * 30103 + 1)
-    x = jnp.broadcast_to(x, shape)
-    u = x.astype(jnp.uint32)
-    u = u ^ (u >> 16)
-    u = u * jnp.uint32(0x7FEB352D)
-    u = u ^ (u >> 15)
-    u = u * jnp.uint32(0x846CA68B)
-    u = u ^ (u >> 16)
-    top24 = jax.lax.bitcast_convert_type(u >> 8, i32)
-    return top24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
 def _hw_u01(shape):

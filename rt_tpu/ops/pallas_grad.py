@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_render import (
     MAX_UNROLL_PRIMS,
     _flatten_primitives,
+    _hash_u01,
     _u01,
     pallas_supported,
     render_forward_pallas,
@@ -79,13 +80,17 @@ _BITS = ("hit", "live_h", "miss", "alive", "ispl", "root", "ldeg",
 
 
 def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
-                      rng_mode, center_sample, lean=False):
+                      rng_mode, center_sample, lean=False, rng_impl="hw",
+                      skip_reverse=False, skip_prim=False):
     """``lean=True`` shrinks the per-bounce VMEM stash from 41 to 14 tile
     arrays: the winner payload (13 arrays) is *recomputed* in the reverse
     sweep from the stashed winner index + the baked primitive constants
     (bit-exact — the forward values ARE those constants), and the 13
     decision masks pack into one int32 bitfield.  The stash is what caps
-    the tile height (rows), so lean mode unlocks 64-128-row tiles."""
+    the tile height (rows), so lean mode unlocks 64-128-row tiles.
+
+    ``skip_reverse`` / ``skip_prim`` are measurement-only knobs (cost-split
+    profiling): they produce WRONG (zero) gradients for the skipped part."""
     n_spheres = s_cols.shape[1]
     n_planes = p_cols.shape[1]
     f32 = jnp.float32
@@ -94,7 +99,8 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
 
     def kernel(cam_ref, seed_ref, cot_ref, sg_ref, pg_ref, cg_ref):
         tile = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(1000003))
+        if rng_impl == "hw":
+            pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(1000003))
 
         lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
@@ -102,6 +108,14 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
         px = (idx % width).astype(f32)
         py = (idx // width).astype(f32)
         in_image = (idx < width * height)
+
+        draw_ctr = [0]
+
+        def u01():
+            if rng_impl == "hw":
+                return _u01((rows, 128))
+            draw_ctr[0] += 1
+            return _hash_u01(idx, seed_ref[0], draw_ctr[0], (rows, 128))
 
         cam = [cam_ref[i] for i in range(15)]
         zero = jnp.zeros((rows, 128), f32)
@@ -111,8 +125,8 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
         cot = [jnp.where(in_image, cot_ref[0, c], 0.0) for c in range(3)]
 
         # ---------------- raygen (as a vjp-able function) -----------------
-        u = _u01((rows, 128))
-        v = _u01((rows, 128))
+        u = u01()
+        v = u01()
         if center_sample:
             jx = jnp.full((rows, 128), f32(0.5))
             jy = jnp.full((rows, 128), f32(0.5))
@@ -214,16 +228,16 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
             hit = best_t < f32(1e37)
             live_h = lv & hit
 
-            ux = _u01((rows, 128))
-            uy = _u01((rows, 128))
-            uz = _u01((rows, 128))
+            ux = u01()
+            uy = u01()
+            uz = u01()
             if rng_mode == "sphere":
                 ux = 2.0 * ux - 1.0
                 uy = 2.0 * uy - 1.0
                 uz = 2.0 * uz - 1.0
             uinv = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
             ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
-            coin = _u01((rows, 128))
+            coin = u01()
 
             # decision bits (computed from the *forward* values; pinned for
             # the smooth map below) — same math as the render kernel
@@ -306,7 +320,7 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
         sgrad = [[f32(0.0)] * S_pad for _ in range(9)]
         pgrad = [[f32(0.0)] * P_pad for _ in range(9)]
 
-        for b in reversed(range(max_bounces)):
+        for b in (() if skip_reverse else reversed(range(max_bounces))):
             st = stash[b]
             if lean:
                 # unpack decisions + rebuild the winner payload from the
@@ -367,6 +381,8 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
             ct = list(ct_p)
 
             # payload cotangents -> per-primitive slots
+            if skip_prim:
+                continue
             is_sph = ~(st["bpl"] > 0.0)
             for si in range(n_spheres):
                 m = (st["bidx"] == f32(si)) & is_sph & st["bits"]["live_h"]
@@ -385,10 +401,17 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
         # camera cotangent via the raygen vjp (per-tile output; summed by the
         # caller — the serial grid would otherwise need in-place accumulation,
         # which the Mosaic pipeline handles poorly)
-        (cam_cot,) = raygen_vjp((co[0], co[1], co[2], cd[0], cd[1], cd[2]))
-        for i in range(15):
-            cg_ref[0, 0, i] = cam_cot[i]
-        cg_ref[0, 0, 15] = f32(0.0)
+        if skip_reverse:
+            # anchor the forward state so DCE can't drop the forward sweep
+            cg_ref[0, 0, 0] = jnp.sum(tr + tg + tb + ox + oy + oz
+                                      + dx + dy + dz + live)
+            for i in range(1, 16):
+                cg_ref[0, 0, i] = f32(0.0)
+        else:
+            (cam_cot,) = raygen_vjp((co[0], co[1], co[2], cd[0], cd[1], cd[2]))
+            for i in range(15):
+                cg_ref[0, 0, i] = cam_cot[i]
+            cg_ref[0, 0, 15] = f32(0.0)
 
         for k in range(9):
             for si in range(S_pad):
@@ -512,12 +535,14 @@ def _bounce_smooth(o3, d3, thr3, pay, u3, bits):
 
 @functools.lru_cache(maxsize=32)
 def _compiled_grad(scene_bytes, shapes, *, width, height, max_bounces, rows,
-                   rng_mode, center_sample, lean=False):
+                   rng_mode, center_sample, lean=False, rng_impl="hw",
+                   interpret=False, skip_reverse=False, skip_prim=False):
     s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
     p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
     kernel = _make_grad_kernel(
         s_cols, p_cols, width=width, height=height, max_bounces=max_bounces,
         rows=rows, rng_mode=rng_mode, center_sample=center_sample, lean=lean,
+        rng_impl=rng_impl, skip_reverse=skip_reverse, skip_prim=skip_prim,
     )
     n = width * height
     n_tiles = -(-n // (rows * 128))
@@ -546,6 +571,7 @@ def _compiled_grad(scene_bytes, shapes, *, width, height, max_bounces, rows,
             jax.ShapeDtypeStruct((n_tiles, 9, P_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, 16), jnp.float32),
         ),
+        interpret=interpret,
     )
     return call
 
@@ -564,6 +590,8 @@ def pallas_mse_loss_and_grad(
     rng_mode: str = "reference",
     lean: bool = False,
     fwd_rows: Optional[int] = None,
+    rng_impl: str = "hw",
+    interpret: bool = False,
 ):
     """MSE loss + scene-parameter gradients, everything on-chip.
 
@@ -593,6 +621,7 @@ def pallas_mse_loss_and_grad(
         bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
         width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
         rng_mode=rng_mode, lean=lean, fwd_rows=fwd_rows,
+        rng_impl=rng_impl, interpret=interpret,
         S_table=scene.spheres.center.shape[0],
         M_table=scene.materials.albedo.shape[0],
     )
@@ -620,6 +649,9 @@ def make_mse_step(
     rng_mode: str = "reference",
     lean: bool = False,
     fwd_rows: Optional[int] = None,
+    rng_impl: str = "hw",
+    interpret: bool = False,
+    dbg: tuple = (),
 ):
     """Prebuilt fwd+bwd step: ``step(seed) -> (loss, grads)``.
 
@@ -645,6 +677,7 @@ def make_mse_step(
         bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
         width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
         rng_mode=rng_mode, lean=lean, fwd_rows=fwd_rows,
+        rng_impl=rng_impl, interpret=interpret, dbg=dbg,
         S_table=scene.spheres.center.shape[0],
         M_table=scene.materials.albedo.shape[0],
     )
@@ -666,7 +699,8 @@ def make_mse_step(
 @functools.lru_cache(maxsize=16)
 def _compiled_pipeline(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
                        width, height, spp, max_bounces, rows, rng_mode,
-                       S_table, M_table, lean=False, fwd_rows=None):
+                       S_table, M_table, lean=False, fwd_rows=None,
+                       rng_impl="hw", interpret=False, dbg=()):
     """One jitted dispatch: forward frame + loss + per-sample grad kernels +
     gradient assembly."""
     from .pallas_render import _compiled
@@ -682,15 +716,19 @@ def _compiled_pipeline(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
     fwd_calls = [
         _compiled(scene_bytes, shapes, spp_unroll=1, rng_mode=rng_mode,
                   center_sample=(s == 0), width=width, height=height,
-                  max_bounces=max_bounces, rows=fwd_rows or rows)
+                  max_bounces=max_bounces, rows=fwd_rows or rows,
+                  rng_impl=rng_impl, interpret=interpret)
         for s in range(min(spp, 2))
     ]
     grad_calls = [
         _compiled_grad(scene_bytes, shapes, width=width, height=height,
                        max_bounces=max_bounces, rows=rows, rng_mode=rng_mode,
-                       center_sample=(s == 0), lean=lean)
+                       center_sample=(s == 0), lean=lean,
+                       rng_impl=rng_impl, interpret=interpret,
+                       skip_reverse=("skip_reverse" in dbg),
+                       skip_prim=("skip_prim" in dbg))
         for s in range(min(spp, 2))
-    ]
+    ] if "no_grad" not in dbg else []
 
     @jax.jit
     def run(cam, seed0, target):
@@ -709,16 +747,21 @@ def _compiled_pipeline(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
         cot_blocks = jnp.pad(cot, ((0, pad), (0, 0))).reshape(
             n_tiles, rows, 128, 3).transpose(0, 3, 1, 2)
 
-        sg_total = pg_total = cg_total = None
-        for s in range(spp):
-            gcall = grad_calls[0] if s == 0 else grad_calls[1 % len(grad_calls)]
-            sg, pg, cg = gcall(cam, seeds[s:s + 1], cot_blocks)
-            sg = sg.sum(axis=0)
-            pg = pg.sum(axis=0)
-            cg = cg.sum(axis=(0, 1))
-            sg_total = sg if sg_total is None else sg_total + sg
-            pg_total = pg if pg_total is None else pg_total + pg
-            cg_total = cg if cg_total is None else cg_total + cg
+        if grad_calls:
+            sg_total = pg_total = cg_total = None
+            for s in range(spp):
+                gcall = grad_calls[0] if s == 0 else grad_calls[1 % len(grad_calls)]
+                sg, pg, cg = gcall(cam, seeds[s:s + 1], cot_blocks)
+                sg = sg.sum(axis=0)
+                pg = pg.sum(axis=0)
+                cg = cg.sum(axis=(0, 1))
+                sg_total = sg if sg_total is None else sg_total + sg
+                pg_total = pg if pg_total is None else pg_total + pg
+                cg_total = cg if cg_total is None else cg_total + cg
+        else:  # dbg "no_grad": forward + loss only, zero gradients
+            sg_total = jnp.zeros((9, max(ns, 1)), jnp.float32) * loss
+            pg_total = jnp.zeros((9, max(npl, 1)), jnp.float32)
+            cg_total = jnp.zeros((16,), jnp.float32)
 
         g_center = jnp.zeros((S_table, 3), jnp.float32)
         g_radius = jnp.zeros((S_table,), jnp.float32)

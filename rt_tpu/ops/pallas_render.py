@@ -122,8 +122,27 @@ def _u01(shape):
     return top24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
+def _hash_u01(pix, seed, ctr: int, shape):
+    """Portable counter-based U[0,1): lowbias32-style avalanche on int32
+    vectors (wrapping multiplies), then the top 24 bits.  Identical under
+    Mosaic and pallas interpret mode — this is what lets the CPU test suite
+    exercise the megakernels end-to-end (``rng_impl="hash"``)."""
+    i32 = jnp.int32
+    x = pix * i32(-1640531527) + seed * i32(97929) + i32(ctr * 30103 + 1)
+    x = jnp.broadcast_to(x, shape)
+    u = x.astype(jnp.uint32)
+    u = u ^ (u >> 16)
+    u = u * jnp.uint32(0x7FEB352D)
+    u = u ^ (u >> 15)
+    u = u * jnp.uint32(0x846CA68B)
+    u = u ^ (u >> 16)
+    top24 = jax.lax.bitcast_convert_type(u >> 8, i32)
+    return top24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
 def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
-                 max_bounces, rows, rng_mode, center_sample, record=False):
+                 max_bounces, rows, rng_mode, center_sample, record=False,
+                 rng_impl="hw"):
     """Build the unrolled kernel body with primitive constants closed over.
 
     The kernel writes the SUM of pre-gamma radiance over its ``spp_unroll``
@@ -147,13 +166,22 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
             (kind_ref, idx_ref, bits_ref, urx_ref, ury_ref, urz_ref,
              coin_ref, jit_ref) = rec_refs
         tile = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(1000003))
+        if rng_impl == "hw":
+            pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(1000003))
 
         lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         idx = (tile * rows + lane_r) * 128 + lane_c
         px = (idx % width).astype(f32)
         py = (idx // width).astype(f32)
+
+        draw_ctr = [0]
+
+        def u01():
+            if rng_impl == "hw":
+                return _u01((rows, 128))
+            draw_ctr[0] += 1
+            return _hash_u01(idx, seed_ref[0], draw_ctr[0], (rows, 128))
 
         cpx, cpy, cpz = cam_ref[0], cam_ref[1], cam_ref[2]
         r = [cam_ref[3 + i] for i in range(9)]
@@ -165,8 +193,8 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
 
         for smp in range(spp_unroll):
             # sample 0 at the pixel centre (mg_ray_tracer.cpp:189)
-            u = _u01((rows, 128))
-            v = _u01((rows, 128))
+            u = u01()
+            v = u01()
             if smp == 0 and center_sample:
                 jx = jnp.full((rows, 128), f32(0.5))
                 jy = jnp.full((rows, 128), f32(0.5))
@@ -279,9 +307,9 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                 ny = jnp.where(ispl, bpny, sny * sinv)
                 nz = jnp.where(ispl, bpnz, snz * sinv)
 
-                ux = _u01((rows, 128))
-                uy = _u01((rows, 128))
-                uz = _u01((rows, 128))
+                ux = u01()
+                uy = u01()
+                uz = u01()
                 if rng_mode == "sphere":
                     # map U[0,1) -> [-1,1) before normalizing (approximation
                     # of a uniform direction; reference mode is the default)
@@ -290,7 +318,7 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                     uz = 2.0 * uz - 1.0
                 uinv = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
                 ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
-                coin = _u01((rows, 128))
+                coin = u01()
 
                 # lambert (mg_ray_tracer.cpp:109-123)
                 lx, ly, lz = nx + ux, ny + uy, nz + uz
@@ -390,7 +418,8 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
 
 @functools.lru_cache(maxsize=32)
 def _compiled_frame(scene_bytes, shapes, *, width, height, spp, spp_unroll,
-                    max_bounces, rows, rng_mode, gamma, center_first):
+                    max_bounces, rows, rng_mode, gamma, center_first,
+                    rng_impl="hw", interpret=False):
     """End-to-end jitted frame renderer: all sample-chunk kernels + mean +
     gamma + crop/reshape fused into ONE dispatch (eager chaining costs
     ~10-15 ms per op through the remote tunnel)."""
@@ -404,7 +433,7 @@ def _compiled_frame(scene_bytes, shapes, *, width, height, spp, spp_unroll,
         _compiled(scene_bytes, shapes, spp_unroll=k, rng_mode=rng_mode,
                   center_sample=(i == 0 and center_first),
                   width=width, height=height, max_bounces=max_bounces,
-                  rows=rows)
+                  rows=rows, rng_impl=rng_impl, interpret=interpret)
         for i, k in enumerate(chunk_sizes)
     ]
     n = width * height
@@ -426,13 +455,14 @@ def _compiled_frame(scene_bytes, shapes, *, width, height, spp, spp_unroll,
 
 @functools.lru_cache(maxsize=64)
 def _compiled(scene_bytes, shapes, *, width, height, spp_unroll,
-              max_bounces, rows, rng_mode, center_sample):
+              max_bounces, rows, rng_mode, center_sample,
+              rng_impl="hw", interpret=False):
     s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
     p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
     kernel = _make_kernel(
         s_cols, p_cols, width=width, height=height,
         spp_unroll=spp_unroll, max_bounces=max_bounces, rows=rows,
-        rng_mode=rng_mode, center_sample=center_sample,
+        rng_mode=rng_mode, center_sample=center_sample, rng_impl=rng_impl,
     )
     n = width * height
     tile_px = rows * 128
@@ -449,19 +479,21 @@ def _compiled(scene_bytes, shapes, *, width, height, spp_unroll,
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 3, rows, 128), jnp.float32),
+        interpret=interpret,
     )
     return call
 
 
 @functools.lru_cache(maxsize=64)
 def _compiled_record(scene_bytes, shapes, *, width, height, max_bounces,
-                     rows, rng_mode, center_sample):
+                     rows, rng_mode, center_sample,
+                     rng_impl="hw", interpret=False):
     s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
     p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
     kernel = _make_kernel(
         s_cols, p_cols, width=width, height=height, spp_unroll=1,
         max_bounces=max_bounces, rows=rows, rng_mode=rng_mode,
-        center_sample=center_sample, record=True,
+        center_sample=center_sample, record=True, rng_impl=rng_impl,
     )
     n = width * height
     n_tiles = -(-n // (rows * 128))
@@ -485,6 +517,7 @@ def _compiled_record(scene_bytes, shapes, *, width, height, max_bounces,
         ),
         out_shape=(shp(3), shp(B), shp(B), shp(B), shp(B), shp(B), shp(B),
                    shp(B), shp(2)),
+        interpret=interpret,
     )
     return call
 
@@ -499,6 +532,8 @@ def render_record_pallas(
     rows: int = 16,
     rng_mode: str = "reference",
     center_sample: bool = True,
+    rng_impl: str = "hw",
+    interpret: bool = False,
 ):
     """One sample per pixel through the megakernel, emitting the replay
     residuals.  Returns (radiance_sum, records_dict); every array is laid
@@ -514,6 +549,7 @@ def render_record_pallas(
         (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
         width=w, height=h, max_bounces=max_bounces, rows=rows,
         rng_mode=rng_mode, center_sample=center_sample,
+        rng_impl=rng_impl, interpret=interpret,
     )
     cam = jnp.concatenate([
         jnp.asarray(scene.camera.position, jnp.float32),
@@ -571,6 +607,8 @@ def render_forward_pallas(
     gamma: bool = True,
     rng_mode: str = "reference",
     center_sample: Optional[bool] = None,
+    rng_impl: str = "hw",
+    interpret: bool = False,
     **_unused,
 ) -> jax.Array:
     """Render a full frame with the TPU megakernel.  Returns (H, W, 3) f32.
@@ -596,6 +634,7 @@ def render_forward_pallas(
         width=w, height=h, spp=spp, spp_unroll=spp_unroll,
         max_bounces=max_bounces, rows=rows, rng_mode=rng_mode, gamma=gamma,
         center_first=(True if center_sample is None else center_sample),
+        rng_impl=rng_impl, interpret=interpret,
     )
 
     cam = jnp.concatenate([
@@ -630,6 +669,8 @@ def make_render_step(
     gamma: bool = True,
     rng_mode: str = "reference",
     center_sample: Optional[bool] = None,
+    rng_impl: str = "hw",
+    interpret: bool = False,
 ):
     """Prebuilt frame renderer: ``step(seed=0, camera=None) -> (H, W, 3)``.
 
@@ -661,6 +702,7 @@ def make_render_step(
         width=w, height=h, spp=spp, spp_unroll=spp_unroll,
         max_bounces=max_bounces, rows=rows, rng_mode=rng_mode, gamma=gamma,
         center_first=(True if center_sample is None else center_sample),
+        rng_impl=rng_impl, interpret=interpret,
     )
 
     def _pack(camera) -> jax.Array:

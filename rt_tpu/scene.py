@@ -240,6 +240,145 @@ class Scene:
 # ---------------------------------------------------------------------------
 
 
+class _SourceMap:
+    """Best-effort TOML source positions for semantic loader errors.
+
+    The reference threads ``node.source()`` into every loader error
+    (scene.cpp:58-66: toml++ keeps per-node source regions).  Python's
+    tomllib discards positions, so this small scanner re-locates
+    (section, index, key) in the original text: inline arrays-of-tables
+    (``spheres = [ {..}, {..} ]``), ``[[section]]`` blocks, ``[section]``
+    tables and top-level keys.  Strings and comments are skipped while
+    brace-counting.  ``locate`` returns (line, column) 1-based, or None
+    when it cannot tell (the error is then raised without a position)."""
+
+    def __init__(self, text: str):
+        self.text = text
+
+    def _pos(self, off: int) -> tuple[int, int]:
+        line = self.text.count("\n", 0, off) + 1
+        col = off - self.text.rfind("\n", 0, off)
+        return line, col
+
+    def _scan_spans(self, start: int):
+        """From an opening '[' at ``start``, yield (elem_start, elem_end)
+        offsets of each depth-1 inline-table/array element."""
+        text = self.text
+        depth = 0
+        i = start
+        n = len(text)
+        elem_start = None
+        while i < n:
+            c = text[i]
+            if c == "#":
+                i = text.find("\n", i)
+                if i < 0:
+                    return
+                continue
+            if c in "\"'":
+                q = c
+                i += 1
+                while i < n and text[i] != q:
+                    i += 2 if (q == '"' and text[i] == "\\") else 1
+                i += 1
+                continue
+            if c in "[{":
+                depth += 1
+                if depth == 2 and elem_start is None:
+                    elem_start = i
+            elif c in "]}":
+                depth -= 1
+                if depth == 1 and elem_start is not None:
+                    yield (elem_start, i + 1)
+                    elem_start = None
+                elif depth == 0:
+                    return
+            i += 1
+
+    def _match_end(self, start: int) -> int:
+        """Offset one past the bracket matching the one at ``start``."""
+        text = self.text
+        depth = 0
+        i = start
+        n = len(text)
+        while i < n:
+            c = text[i]
+            if c == "#":
+                nl = text.find("\n", i)
+                if nl < 0:
+                    return n
+                i = nl
+                continue
+            if c in "\"'":
+                q = c
+                i += 1
+                while i < n and text[i] != q:
+                    i += 2 if (q == '"' and text[i] == "\\") else 1
+                i += 1
+                continue
+            if c in "[{":
+                depth += 1
+            elif c in "]}":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+            i += 1
+        return n
+
+    def _find_key(self, key: str, lo: int, hi: int):
+        import re
+
+        m = re.search(r"(?<![\w'\"-])%s\s*=" % re.escape(key),
+                      self.text[lo:hi])
+        return lo + m.start() if m else None
+
+    def locate(self, section=None, index=None, key=None):
+        import re
+
+        text = self.text
+        if section is None:
+            # top-level key
+            m = re.search(r"(?m)^\s*%s\s*=" % re.escape(key or ""), text)
+            return self._pos(m.start() + len(m.group()) - len(m.group().lstrip())) if m else None
+        # section as inline array assignment
+        m = re.search(r"(?m)^\s*%s\s*=\s*\[" % re.escape(section), text)
+        spans = []
+        if m:
+            spans = list(self._scan_spans(text.find("[", m.end() - 1)))
+        else:
+            # [[section]] blocks / [section] table
+            heads = [h.start() for h in re.finditer(
+                r"(?m)^\s*\[\[%s\]\]" % re.escape(section), text)]
+            if heads:
+                for k, h in enumerate(heads):
+                    nxt = re.compile(r"(?m)^\s*\[").search(text, text.find("\n", h) + 1)
+                    spans.append((h, nxt.start() if nxt else len(text)))
+            else:
+                h = re.search(r"(?m)^\s*\[%s\]" % re.escape(section), text)
+                if h is None:
+                    # inline table: section = { ... }
+                    h = re.search(r"(?m)^\s*%s\s*=\s*\{" % re.escape(section), text)
+                    if h is None:
+                        return None
+                    open_ = text.find("{", h.end() - 1)
+                    lo, hi = h.start(), self._match_end(open_)
+                else:
+                    nxt = re.compile(r"(?m)^\s*\[").search(text, text.find("\n", h.start()) + 1)
+                    lo, hi = h.start(), (nxt.start() if nxt else len(text))
+                if key:
+                    off = self._find_key(key, lo, hi)
+                    return self._pos(off) if off is not None else self._pos(lo)
+                return self._pos(lo)
+        if index is None or index >= len(spans):
+            return self._pos(m.start()) if m else None
+        lo, hi = spans[index]
+        if key:
+            off = self._find_key(key, lo, hi)
+            if off is not None:
+                return self._pos(off)
+        return self._pos(lo)
+
+
 def _deser_vec3(value, default: tuple[float, float, float]) -> np.ndarray:
     """Vector deserialization: string alias | scalar broadcast | array
     (scene.cpp:118-167).  Arrays may be shorter than 3; missing components
@@ -297,28 +436,56 @@ def _deser_float(value, default: float, what: str = "value") -> float:
 
 
 def _deser_uint(value, default: int, what: str = "value") -> int:
+    """toml++ ``deserialize(..., unsigned{})`` refuses negative integers
+    (``node.value<unsigned>()`` bounds-checks and returns nullopt →
+    mismatch_error, scene.cpp:88-101); match that rather than letting a
+    negative index wrap via Python negative indexing."""
     if value is None:
         return default
-    if isinstance(value, bool) or not isinstance(value, int):
+    if isinstance(value, bool) or not isinstance(value, int) or value < 0:
         raise ValueError(f"no mapping from {value!r} to unsigned ({what})")
     return int(value)
 
 
 def loads(text: str, *, path: str = "", compat_colours: bool = True) -> Scene:
-    """Parse a TOML scene document (semantics of scene.cpp:483-618)."""
+    """Parse a TOML scene document (semantics of scene.cpp:483-618).
+
+    Loader errors carry best-effort TOML source positions, mirroring the
+    reference's ``error(node, ...) << node.source()`` (scene.cpp:58-66)."""
+    import contextlib
     import tomllib
 
     config = tomllib.loads(text)
+    src = _SourceMap(text)
 
-    spp = min(max(_deser_uint(config.get("samples_per_pixel"), 30, "samples_per_pixel"), 1), 1000)
-    max_bounces = min(max(_deser_uint(config.get("max_bounces"), 10, "max_bounces"), 1), 1000)
+    @contextlib.contextmanager
+    def _at(section=None, index=None, key=None):
+        try:
+            yield
+        except ValueError as e:
+            if "(error occurred at line" in str(e):
+                raise
+            pos = src.locate(section, index, key)
+            if pos is None:
+                raise
+            raise ValueError(
+                f"{e}\n\n(error occurred at line {pos[0]}, column {pos[1]})"
+            ) from None
+
+    with _at(key="samples_per_pixel"):
+        spp = min(max(_deser_uint(config.get("samples_per_pixel"), 30, "samples_per_pixel"), 1), 1000)
+    with _at(key="max_bounces"):
+        max_bounces = min(max(_deser_uint(config.get("max_bounces"), 10, "max_bounces"), 1), 1000)
 
     cam_tbl = config.get("camera")
     if cam_tbl is not None:
         if not isinstance(cam_tbl, dict):
-            raise ValueError(f"expected table at key 'camera', got {type(cam_tbl).__name__}")
-        cam_pos = _deser_vec3(cam_tbl.get("position", (0.0, 1.0, 0.0)), (0.0, 1.0, 0.0))
-        cam_dir = _deser_vec3(cam_tbl.get("direction", "forward"), _VECTOR_ALIASES["forward"])
+            with _at(section="camera"):
+                raise ValueError(f"expected table at key 'camera', got {type(cam_tbl).__name__}")
+        with _at(section="camera", key="position"):
+            cam_pos = _deser_vec3(cam_tbl.get("position", (0.0, 1.0, 0.0)), (0.0, 1.0, 0.0))
+        with _at(section="camera", key="direction"):
+            cam_dir = _deser_vec3(cam_tbl.get("direction", "forward"), _VECTOR_ALIASES["forward"])
     else:
         cam_pos = np.array([0.0, 1.0, 0.0], dtype=np.float32)
         cam_dir = np.asarray(_VECTOR_ALIASES["forward"], dtype=np.float32)
@@ -326,15 +493,19 @@ def loads(text: str, *, path: str = "", compat_colours: bool = True) -> Scene:
 
     # materials (scene.cpp:540-566)
     names, types, albedos, roughs, refls = [], [], [], [], []
-    for tbl in config.get("materials", ()) or ():
-        mtype = _deser_material_type(tbl.get("type", "lambert"))
+    for mi, tbl in enumerate(config.get("materials", ()) or ()):
+        with _at(section="materials", index=mi, key="type"):
+            mtype = _deser_material_type(tbl.get("type", "lambert"))
         default_refl = MATERIAL_DEFAULT_REFLECTIVITY.get(mtype, _DEFAULT_REFLECTIVITY_OTHER)
         names.append(str(tbl.get("name", "")))
         types.append(mtype)
-        albedos.append(resolve_colour(tbl.get("albedo", "fuchsia"), compat=compat_colours))
+        with _at(section="materials", index=mi, key="albedo"):
+            albedos.append(resolve_colour(tbl.get("albedo", "fuchsia"), compat=compat_colours))
         default_rough = 0.0 if mtype == MATERIAL_TYPES["dielectric"] else 0.5
-        roughs.append(_deser_float(tbl.get("roughness"), default_rough, "roughness"))
-        refls.append(_deser_float(tbl.get("reflectivity"), default_refl, "reflectivity"))
+        with _at(section="materials", index=mi, key="roughness"):
+            roughs.append(_deser_float(tbl.get("roughness"), default_rough, "roughness"))
+        with _at(section="materials", index=mi, key="reflectivity"):
+            refls.append(_deser_float(tbl.get("reflectivity"), default_refl, "reflectivity"))
     if not types:
         # fallback fuchsia lambert (scene.cpp:565-566)
         names, types = [""], [MATERIAL_TYPES["lambert"]]
@@ -352,21 +523,25 @@ def loads(text: str, *, path: str = "", compat_colours: bool = True) -> Scene:
         names=tuple(names),
     )
 
-    def get_material(tbl) -> int:
-        m = _deser_uint(tbl.get("material"), 0, "material")
-        if m >= n_mat:
-            raise ValueError(f"material index {m} out-of-range")
+    def get_material(tbl, section, index) -> int:
+        with _at(section=section, index=index, key="material"):
+            m = _deser_uint(tbl.get("material"), 0, "material")
+            if m >= n_mat:
+                # scene.cpp:568-574
+                raise ValueError(f"material index {m} out-of-range")
         return m
 
     # planes (scene.cpp:576-585)
     p_n, p_d, p_m = [], [], []
-    for tbl in config.get("planes", ()) or ():
-        pos = _deser_vec3(tbl.get("position", (0.0, 0.0, 0.0)), (0.0, 0.0, 0.0))
-        nrm = _deser_vec3(tbl.get("normal", (0.0, 1.0, 0.0)), (0.0, 1.0, 0.0))
+    for pi, tbl in enumerate(config.get("planes", ()) or ()):
+        with _at(section="planes", index=pi, key="position"):
+            pos = _deser_vec3(tbl.get("position", (0.0, 0.0, 0.0)), (0.0, 0.0, 0.0))
+        with _at(section="planes", index=pi, key="normal"):
+            nrm = _deser_vec3(tbl.get("normal", (0.0, 1.0, 0.0)), (0.0, 1.0, 0.0))
         nrm = nrm / np.linalg.norm(nrm)
         p_n.append(nrm)
         p_d.append(-float(np.dot(nrm, pos)))
-        p_m.append(get_material(tbl))
+        p_m.append(get_material(tbl, "planes", pi))
     pb = _bucket(len(p_n))
     planes = Planes(
         normal=jnp.asarray(_pad_rows(np.asarray(p_n, np.float32).reshape(-1, 3), pb)),
@@ -377,10 +552,12 @@ def loads(text: str, *, path: str = "", compat_colours: bool = True) -> Scene:
 
     # spheres (scene.cpp:587-597)
     s_c, s_r, s_m = [], [], []
-    for tbl in config.get("spheres", ()) or ():
-        s_c.append(_deser_vec3(tbl.get("position", (0.0, 1.0, -3.0)), (0.0, 1.0, -3.0)))
-        s_r.append(_deser_float(tbl.get("radius"), 0.5, "radius"))
-        s_m.append(get_material(tbl))
+    for si, tbl in enumerate(config.get("spheres", ()) or ()):
+        with _at(section="spheres", index=si, key="position"):
+            s_c.append(_deser_vec3(tbl.get("position", (0.0, 1.0, -3.0)), (0.0, 1.0, -3.0)))
+        with _at(section="spheres", index=si, key="radius"):
+            s_r.append(_deser_float(tbl.get("radius"), 0.5, "radius"))
+        s_m.append(get_material(tbl, "spheres", si))
     sb = _bucket(len(s_c))
     spheres = Spheres(
         center=jnp.asarray(_pad_rows(np.asarray(s_c, np.float32).reshape(-1, 3), sb, fill=1e9)),
@@ -391,10 +568,12 @@ def loads(text: str, *, path: str = "", compat_colours: bool = True) -> Scene:
 
     # boxes (scene.cpp:599-615)
     b_c, b_e, b_m = [], [], []
-    for tbl in config.get("boxes", ()) or ():
-        b_c.append(_deser_vec3(tbl.get("position", (0.0, 1.0, -3.0)), (0.0, 1.0, -3.0)))
-        b_e.append(_deser_vec3(tbl.get("extents", 0.5), (0.5, 0.5, 0.5)))
-        b_m.append(get_material(tbl))
+    for bi, tbl in enumerate(config.get("boxes", ()) or ()):
+        with _at(section="boxes", index=bi, key="position"):
+            b_c.append(_deser_vec3(tbl.get("position", (0.0, 1.0, -3.0)), (0.0, 1.0, -3.0)))
+        with _at(section="boxes", index=bi, key="extents"):
+            b_e.append(_deser_vec3(tbl.get("extents", 0.5), (0.5, 0.5, 0.5)))
+        b_m.append(get_material(tbl, "boxes", bi))
     bb = _bucket(len(b_c))
     boxes = Boxes(
         center=jnp.asarray(_pad_rows(np.asarray(b_c, np.float32).reshape(-1, 3), bb, fill=1e9)),

@@ -1,19 +1,32 @@
 """Pallas megakernel tests.
 
-The kernel only runs on real TPU hardware (Mosaic has no CPU lowering for
-the PRNG primitives), so numerical tests here are structure-level; the
-statistical parity run against the jnp renderer lives in
-tools/tpu_smoke.py and is exercised on-device.
+With the default hardware PRNG the kernels are Mosaic-only, but
+``rng_impl="hash"`` (a portable counter hash, shared with the blockwise
+kernels) is bit-identical between Mosaic and pallas interpret mode — so the
+flagship kernels' actual math runs end-to-end on the CPU mesh here:
+deterministic parity vs the jnp renderer, record→replay round trips, and
+the fused fwd+bwd gradient kernel vs the replay-pipeline gradients fed the
+same draws.  The on-device statistical counterparts live in
+tools/tpu_smoke.py.
+
+Interpret-mode cost scales with the unroll (bounces × primitives), so the
+numerical tests use small frames and shallow bounce counts.
 """
 
 import numpy as np
 import pytest
 
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
 import rt_tpu
+from rt_tpu.integrator import render_image
 from rt_tpu.ops.pallas_render import (
     MAX_UNROLL_PRIMS,
     _flatten_primitives,
     pallas_supported,
+    render_forward_pallas,
 )
 
 
@@ -65,6 +78,105 @@ def test_unsupported_scene_raises():
     big = rt_tpu.scene.make_procedural_scene(MAX_UNROLL_PRIMS + 100)
     with pytest.raises(ValueError, match="exceeds"):
         render_forward_pallas(big, (8, 8), spp=1, max_bounces=1)
+
+
+def _fwd(scene, size, **kw):
+    kw.setdefault("rng_impl", "hash")
+    kw.setdefault("interpret", True)
+    kw.setdefault("rows", 8)
+    return np.asarray(render_forward_pallas(scene, size, **kw))
+
+
+def test_interpret_deterministic_parity_basic():
+    # 1 spp centre sample, 1 bounce: primary hit + sky — deterministic, must
+    # match the jnp renderer to float eps (VERDICT r1 item 2a)
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    img = _fwd(s, (64, 48), spp=1, max_bounces=1)
+    ref = np.asarray(render_image(s, (64, 48), jr.key(0), spp=1, max_bounces=1))
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_interpret_deterministic_parity_planes():
+    # plane scan + plane-vs-sphere tie-break inside the unrolled kernel
+    s = rt_tpu.loads(
+        """
+materials = [ { type = 'lambert', albedo = 'red' },
+              { type = 'metal',   albedo = 'white', roughness = 0.1 } ]
+planes  = [ { material = 0 } ]
+spheres = [ { material = 1, position = [0.0, 1.0, -3.0], radius = 0.5 } ]
+"""
+    )
+    img = _fwd(s, (48, 32), spp=1, max_bounces=1)
+    ref = np.asarray(render_image(s, (48, 32), jr.key(0), spp=1, max_bounces=1))
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_interpret_statistical_parity():
+    # same estimator, different RNG stream: agreement like MC noise
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    img = _fwd(s, (32, 24), spp=8, max_bounces=4, seed=5)
+    ref = np.asarray(render_image(s, (32, 24), jr.key(2), spp=8, max_bounces=4))
+    assert abs(img.mean() - ref.mean()) < 0.02
+    assert np.abs(img - ref).mean() < 0.05
+
+
+def test_interpret_record_replay_roundtrip():
+    # the record kernel's residuals, replayed through rt_tpu.replay, must
+    # reproduce the kernel's own radiance (they are the same estimator fed
+    # the same draws)
+    from rt_tpu.camera import generate_rays
+    from rt_tpu.integrator import _pixel_grid
+    from rt_tpu.ops.pallas_render import records_to_flat, render_record_pallas
+    from rt_tpu.replay import PathRecords, replay_radiance
+
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    w, h, B = 32, 24, 3
+    n = w * h
+    rad, recs = render_record_pallas(
+        s, (w, h), seed=3, max_bounces=B, rows=8, rng_impl="hash",
+        interpret=True, center_sample=False)
+    flat = records_to_flat(recs, n, B)
+    kernel_img = np.asarray(rad).transpose(0, 2, 3, 1).reshape(-1, 3)[:n]
+
+    grid = _pixel_grid((w, h))
+    o, d = generate_rays(s.camera, (w, h), grid + flat["jitter"])
+    pr = PathRecords(
+        kind=flat["kind"], idx=flat["idx"], root_lo=flat["root_lo"],
+        live_in=flat["live_in"], miss=flat["miss"],
+        alive_out=flat["alive_out"], reflect_bit=flat["reflect_bit"],
+        lam_deg=flat["lam_deg"],
+    )
+    replayed = np.asarray(replay_radiance(
+        s, o, d, None, pr, personality="mg", max_bounces=B,
+        draws=(flat["ur"], flat["coin"])))
+    np.testing.assert_allclose(kernel_img, replayed, atol=1e-4)
+
+
+def test_interpret_fused_grad_matches_replay():
+    # the fused fwd+bwd kernel and the record→replay pipeline implement the
+    # same detached-sampling gradient; with the shared hash RNG they see the
+    # same paths and draws, so gradients must agree (VERDICT r1 item 2b)
+    from rt_tpu import diff
+    from rt_tpu.ops.pallas_grad import pallas_mse_loss_and_grad
+
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    size, spp, B = (32, 24), 2, 3
+    params = diff.extract_params(s)
+    target = jnp.zeros((size[1], size[0], 3), jnp.float32)
+
+    loss_f, g_f = pallas_mse_loss_and_grad(
+        params, s, target, size, seed=1, spp=spp, max_bounces=B,
+        rows=8, rng_impl="hash", interpret=True)
+    loss_r, g_r = diff.pallas_loss_and_grad(
+        params, s, target, size, seed=1, spp=spp, max_bounces=B,
+        rng_impl="hash", interpret=True)
+
+    assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-5)
+    for k in g_r:
+        a, b = np.asarray(g_f[k]), np.asarray(g_r[k])
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-3,
+                                   err_msg=k)
 
 
 def test_make_render_step_structure():

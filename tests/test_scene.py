@@ -139,3 +139,38 @@ def test_procedural_scene():
     assert s.spheres.count == 50
     assert np.asarray(s.spheres.radius)[0] == 1000.0  # ground sphere
     assert s.materials.count > 0
+
+
+def test_unsigned_fields_reject_negatives():
+    # toml++ deserialize(..., unsigned{}) bounds-checks: a negative int is a
+    # type mismatch, not a wrap-around (scene.cpp:88-101, 568-574)
+    with pytest.raises(ValueError, match="unsigned"):
+        rt_tpu.loads("samples_per_pixel = -3\n")
+    with pytest.raises(ValueError, match="unsigned"):
+        rt_tpu.loads("max_bounces = -1\n")
+    with pytest.raises(ValueError, match="unsigned"):
+        rt_tpu.loads(
+            "materials = [ { type = 'lambert' } ]\n"
+            "spheres = [ { material = -1 } ]\n"
+        )
+
+
+def test_loader_errors_carry_source_positions():
+    # the reference threads node.source() into every loader error
+    # (scene.cpp:58-66); ours carry best-effort line/column
+    with pytest.raises(ValueError, match=r"line 1, column 1"):
+        rt_tpu.loads("samples_per_pixel = -3\n")
+    with pytest.raises(ValueError, match=r"line 2, column 15"):
+        rt_tpu.loads(
+            "materials = [ { type = 'lambert' } ]\n"
+            "spheres = [ { material = 9 } ]\n"
+        )
+    with pytest.raises(ValueError, match=r"line 3, column 21"):
+        rt_tpu.loads(
+            "materials = [\n"
+            "  { type = 'lambert' },\n"
+            "  { type = 'metal', roughness = 'x' },\n"
+            "]\n"
+        )
+    with pytest.raises(ValueError, match=r"line 2, column 1"):
+        rt_tpu.loads("[camera]\ndirection = 'diagonal'\n")
