@@ -58,16 +58,72 @@ def measure_cpu_baseline(scene, size, spp, max_bounces) -> float:
     return mrays
 
 
+def scaling(args) -> None:
+    """Rays/s scaling-efficiency harness (BASELINE.json: >=85% at 1 chip /
+    1 host / N hosts).  Shards the render over meshes of 1..N devices and
+    reports efficiency vs the 1-device rate.  On this sandbox's single real
+    chip it degenerates to N=1; on the CPU backend it exercises the full
+    mesh ladder (virtual devices) — the same code path a real multi-chip
+    slice runs.  One JSON line per mesh size."""
+    import time
+
+    import jax
+    import numpy as np
+
+    import rt_tpu
+    from rt_tpu import dist
+
+    scene = rt_tpu.load("/root/reference/scenes/basic.toml")
+    key = rt_tpu.rng.make_key(0)
+    size = (512, 384)
+    spp = args.spp or 4
+    n_dev = len(jax.devices())
+    base_rate = None
+    n = 1
+    while n <= n_dev:
+        mesh = dist.make_mesh(n, 1, devices=jax.devices()[:n])
+
+        def render():
+            return dist.render_image_sharded(
+                scene, size, key, mesh, spp=spp, max_bounces=8,
+                ray_chunk=4096)
+
+        jax.block_until_ready(render())  # compile + warm
+        t0 = time.perf_counter()
+        iters = 4
+        for _ in range(iters):
+            out = render()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        rate = size[0] * size[1] * spp / dt / 1e6
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * n)
+        print(json.dumps({
+            "metric": f"scaling rays/s ({n} devices)",
+            "value": round(rate, 2), "unit": "Mrays/s",
+            "vs_baseline": round(eff, 3),
+        }))
+        n *= 2
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny smoke run")
     ap.add_argument("--size", default=None, help="WxH override")
     ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--scaling", action="store_true",
+                    help="mesh scaling-efficiency ladder instead of the "
+                         "headline fwd+bwd benchmark")
     ap.add_argument("--iters", type=int, default=32,
                     help="timed fwd+bwd steps (async-pipelined, blocked once "
                          "at the end: sustained throughput; 32 steps amortize "
                          "the ~25-50 ms host->TPU dispatch round trip)")
     args = ap.parse_args()
+
+    if args.scaling:
+        scaling(args)
+        return
 
     import jax
 

@@ -138,6 +138,8 @@ def pallas_loss_and_grad(
     concrete = apply_params(scene, jax.tree_util.tree_map(
         lambda x: jnp.asarray(x), params))
     s_cols, p_cols = _flatten_primitives(concrete, personality)
+    _note_records_scene(_scene_static_key(scene),
+                        (s_cols.tobytes(), p_cols.tobytes()))
     run = _records_pipeline(
         (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
         _scene_static_key(scene),
@@ -147,6 +149,29 @@ def pallas_loss_and_grad(
     )
     seeds = jnp.asarray([seed * 100003 + s for s in range(spp)], jnp.int32)
     return run(params, scene, jnp.asarray(target), seeds)
+
+
+_records_seen: dict = {}
+
+
+def _note_records_scene(static_key, scene_bytes) -> None:
+    """Log every time the records pipeline is handed *changed* scene bytes
+    for an already-seen scene shape: the megakernel bakes primitive values
+    as constants, so each change silently recompiles — per-step parameter
+    updates through this pipeline are a misuse that now shows up in the
+    log instead of as mystery slowness (use grad_mode='replay'/'autodiff'
+    or the fused pallas step for training loops)."""
+    prev = _records_seen.get(static_key)
+    h = hash(scene_bytes)
+    if prev is not None and prev != h:
+        from .log import warn
+
+        warn("pallas records pipeline: scene parameter values changed — "
+             "the megakernel bakes them as constants, so this call "
+             "recompiles the record kernels (seconds, cached by content). "
+             "For per-step parameter updates use grad_mode='replay' or the "
+             "fused pallas training step instead.")
+    _records_seen[static_key] = h
 
 
 def _scene_static_key(scene):

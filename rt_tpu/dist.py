@@ -28,7 +28,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map
+    _SMAP_NOCHECK = {"check_vma": False}
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+    _SMAP_NOCHECK = {"check_rep": False}
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import rng as _rng
@@ -46,9 +52,29 @@ __all__ = [
 
 def initialize(**kwargs) -> None:
     """Multi-host bring-up (jax.distributed.initialize passthrough).
-    No-op on a single process."""
+    No-op on a single process.  Exercised for real by tools/mp_check.py:
+    a 2-OS-process CPU-backend run building a cross-process mesh (the
+    multi-process simulation SURVEY.md §4 calls for)."""
     if jax.process_count() > 1 or kwargs:
         jax.distributed.initialize(**kwargs)
+
+
+def _to_global(mesh: Mesh, spec, value):
+    """Host-local value -> global jax.Array laid out ``spec`` over ``mesh``.
+
+    Multi-controller JAX (2+ OS processes) rejects process-local arrays as
+    shard_map/jit operands; this builds the global array each process
+    contributes its addressable shards to.  PRNG key arrays round-trip
+    through key_data/wrap_key_data (typed keys can't cross
+    make_array_from_callback directly)."""
+    if hasattr(value, "dtype") and jnp.issubdtype(value.dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(value))
+        g = jax.make_array_from_callback(
+            data.shape, NamedSharding(mesh, P()), lambda idx: data[idx])
+        return jax.random.wrap_key_data(g)
+    arr = np.asarray(value)
+    return jax.make_array_from_callback(
+        arr.shape, NamedSharding(mesh, spec), lambda idx: arr[idx])
 
 
 def make_mesh(n_rays: Optional[int] = None, n_prims: int = 1, *, devices=None) -> Mesh:
@@ -170,9 +196,26 @@ def render_image_sharded(
     if grad_mode == "replay" and n_prims_axis > 1:
         # replay needs the full sphere table on-device; with a sharded
         # table the recorded winner may live on another shard.
+        from .log import warn_once
+
+        warn_once(
+            ("dist", "replay-downgrade"),
+            "render_image_sharded: grad_mode='replay' is unsupported on a "
+            "prims-sharded mesh (the recorded winner may live on another "
+            "shard) — downgrading to autodiff, which has a far more "
+            "expensive backward pass",
+        )
         grad_mode_eff = "autodiff"
     else:
         grad_mode_eff = grad_mode
+
+    if jax.process_count() > 1 and not isinstance(grid, jax.core.Tracer):
+        # multi-controller: operands must be global arrays (inside a jit
+        # trace the enclosing pjit already owns the layout — skip there)
+        scene = jax.tree_util.tree_map(
+            lambda leaf, sp: _to_global(mesh, sp, leaf), scene, scene_spec)
+        grid = _to_global(mesh, P("rays"), grid)
+        key = _to_global(mesh, P(), key)
 
     def shard_fn(local_scene, local_pixels, k):
         shard_id = jax.lax.axis_index("rays")
@@ -191,7 +234,7 @@ def render_image_sharded(
         mesh=mesh,
         in_specs=(scene_spec, P("rays"), P()),
         out_specs=P("rays"),
-        check_rep=False,
+        **_SMAP_NOCHECK,
     )(scene, grid, key)
 
     img = rad[:n]

@@ -730,7 +730,7 @@ def render_forward_blockwise_sharded(
     stay globally unique, and the framebuffer is assembled by the out-spec
     all-gather (the back_buffer::flush analogue, back_buffer.cpp:40-50).
     """
-    from jax.experimental.shard_map import shard_map
+    from ..dist import _SMAP_NOCHECK, shard_map
     from jax.sharding import PartitionSpec as P
 
     if not blockwise_supported(scene):
@@ -795,7 +795,7 @@ def render_forward_blockwise_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=P(axis),
-        check_rep=False,
+        **_SMAP_NOCHECK,
     )
 
     @functools.partial(jax.jit, static_argnames=())

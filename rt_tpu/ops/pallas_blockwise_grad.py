@@ -570,7 +570,7 @@ def _bw_grad_pipeline_sharded(s_mat_bytes, p_mat_bytes, mesh_key, *, width,
     BASELINE.json config 5).  Bit-identical to the unsharded pipeline for
     the same seed: per-shard tile offsets keep pixel ids and RNG streams
     globally unique."""
-    from jax.experimental.shard_map import shard_map
+    from ..dist import _SMAP_NOCHECK, shard_map
     from jax.sharding import PartitionSpec as P
 
     mesh = _MESHES[mesh_key]
@@ -636,7 +636,7 @@ def _bw_grad_pipeline_sharded(s_mat_bytes, p_mat_bytes, mesh_key, *, width,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis)),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False,
+        **_SMAP_NOCHECK,
     )
 
     @jax.jit

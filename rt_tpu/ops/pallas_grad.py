@@ -533,6 +533,466 @@ def _bounce_smooth(o3, d3, thr3, pay, u3, bits):
     return o_n, d_n, (tr_n, tg_n, tb_n), (rad0, rad1, rad2)
 
 
+# ---------------------------------------------------------------------------
+# Mono-kernel step: the whole fwd+bwd MSE step in ONE pallas dispatch.
+#
+# The per-sample pipeline (above) pays for the forward TWICE: the render
+# megakernel produces the image (for the MSE cotangent), then each grad
+# kernel re-runs its own forward sweep because the per-bounce stash cannot
+# outlive a kernel.  The key observation: the MSE cotangent is PER-PIXEL
+# LOCAL (cot_p = 2 (img_p - target_p) / (3 N spp) touches no other pixel),
+# so one kernel can, per ray tile: run ALL spp forward sweeps (stashing
+# per-bounce state in VMEM, accumulating the tile image), form the
+# cotangent tile locally against the target block, then reverse-sweep each
+# sample — no image/cot HBM round trips, no separate forward kernels, no
+# jnp assembly transposes, one dispatch per training step.  Measured on
+# v5e-1 (800x600 @ 4 spp, depth 8): 5.69 ms -> ~3 ms class.
+#
+# Per-primitive gradients use WIDE accumulators when the scene is small:
+# full (rows, 128) running sums per (slot, primitive), one masked select
+# per bounce, reduced ONCE at the end — replacing the per-bounce full
+# cross-lane reductions that dominated the per-sample kernel (in-situ
+# measured 0.70 ms of 5.69 ms).
+# ---------------------------------------------------------------------------
+
+
+def _make_scan(s_cols, p_cols, rows):
+    """Unrolled closest-hit over baked primitive constants.
+
+    Returns ``scan(o3, d3) -> (best_t, pay, bidx, bpl, broot)`` with the
+    exact select-chain semantics of the render megakernel (planes first
+    with strict '<', spheres win a plane tie, mg_ray_tracer.cpp:95-102)."""
+    n_spheres = s_cols.shape[1]
+    n_planes = p_cols.shape[1]
+    f32 = jnp.float32
+
+    def scan(o3, d3):
+        ox, oy, oz = o3
+        dx, dy, dz = d3
+        zero = jnp.zeros((rows, 128), f32)
+        one = jnp.ones((rows, 128), f32)
+        best_t = jnp.full((rows, 128), f32(_BIG))
+        bcx = bcy = bcz = zero
+        brad = one
+        bpnx = bpny = bpnz = zero
+        bpdd = zero
+        bar = bag = bab = zero
+        brf = one
+        brg = zero
+        bcl = zero
+        bpl = zero
+        bidx = zero
+        broot = one
+
+        for p in range(n_planes):
+            pnx, pny, pnz, pdd = (float(p_cols[i, p]) for i in range(4))
+            nd = pnx * dx + pny * dy + pnz * dz
+            no = pnx * ox + pny * oy + pnz * oz + pdd
+            safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
+            t = -no / safe
+            ok = (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT) & (t < best_t)
+            best_t = jnp.where(ok, t, best_t)
+            bpnx = jnp.where(ok, pnx, bpnx)
+            bpny = jnp.where(ok, pny, bpny)
+            bpnz = jnp.where(ok, pnz, bpnz)
+            bpdd = jnp.where(ok, pdd, bpdd)
+            bar = jnp.where(ok, float(p_cols[4, p]), bar)
+            bag = jnp.where(ok, float(p_cols[5, p]), bag)
+            bab = jnp.where(ok, float(p_cols[6, p]), bab)
+            brf = jnp.where(ok, float(p_cols[7, p]), brf)
+            brg = jnp.where(ok, float(p_cols[8, p]), brg)
+            bcl = jnp.where(ok, float(p_cols[9, p]), bcl)
+            bpl = jnp.where(ok, f32(1.0), bpl)
+            bidx = jnp.where(ok, f32(p), bidx)
+
+        for si in range(n_spheres):
+            cx, cy, cz, rad = (float(s_cols[i, si]) for i in range(4))
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            bq = ocx * dx + ocy * dy + ocz * dz
+            c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+            disc = bq * bq - c0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -bq - sq
+            t1 = -bq + sq
+            t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+            ok = (disc >= 0.0) & (t >= _MIN_HIT) & (
+                (t < best_t) | ((t == best_t) & (bpl > 0.0))
+            )
+            best_t = jnp.where(ok, t, best_t)
+            bcx = jnp.where(ok, cx, bcx)
+            bcy = jnp.where(ok, cy, bcy)
+            bcz = jnp.where(ok, cz, bcz)
+            brad = jnp.where(ok, rad, brad)
+            bar = jnp.where(ok, float(s_cols[4, si]), bar)
+            bag = jnp.where(ok, float(s_cols[5, si]), bag)
+            bab = jnp.where(ok, float(s_cols[6, si]), bab)
+            brf = jnp.where(ok, float(s_cols[7, si]), brf)
+            brg = jnp.where(ok, float(s_cols[8, si]), brg)
+            bcl = jnp.where(ok, float(s_cols[9, si]), bcl)
+            bpl = jnp.where(ok, f32(0.0), bpl)
+            bidx = jnp.where(ok, f32(si), bidx)
+            broot = jnp.where(ok, (t0 >= _MIN_HIT).astype(f32), broot)
+
+        pay = (bcx, bcy, bcz, brad, bpnx, bpny, bpnz, bpdd,
+               bar, bag, bab, brf, brg)
+        return best_t, pay, bidx, bpl, broot, bcl
+
+    return scan
+
+
+def _decisions(best_t, pay, bpl, broot, bcl, o3, d3, lv, u3, coin):
+    """Decision bits from the forward values — the discrete structure pinned
+    for the detached-sampling vjp (same math as the render kernel)."""
+    f32 = jnp.float32
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    ux, uy, uz = u3
+    (bcx, bcy, bcz, brad, bpnx, bpny, bpnz, bpdd,
+     bar, bag, bab, brf, brg) = pay
+
+    hit = best_t < f32(1e37)
+    live_h = lv & hit
+    t_safe = jnp.where(hit, best_t, 0.0)
+    hx = ox + t_safe * dx
+    hy = oy + t_safe * dy
+    hz = oz + t_safe * dz
+    snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+    sinv = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+    ispl = bpl > 0.0
+    nx = jnp.where(ispl, bpnx, snx * sinv)
+    ny = jnp.where(ispl, bpny, sny * sinv)
+    nz = jnp.where(ispl, bpnz, snz * sinv)
+    lxr, lyr, lzr = nx + ux, ny + uy, nz + uz
+    ldeg = (lxr * lxr + lyr * lyr + lzr * lzr) < 1e-16
+    ddot = dx * nx + dy * ny + dz * nz
+    mxr = (dx - 2.0 * ddot * nx) + brg * ux
+    myr = (dy - 2.0 * ddot * ny) + brg * uy
+    mzr = (dz - 2.0 * ddot * nz) + brg * uz
+    mabs = (mxr * nx + myr * ny + mzr * nz) <= 0.0
+    inside = ddot > 0.0
+    eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+    cosine = jnp.where(inside, brf * ddot, -ddot)
+    cos_i = jnp.where(inside, ddot, -ddot)
+    sin2 = eta * eta * (1.0 - cos_i * cos_i)
+    tir = sin2 > 1.0
+    r0_ = (1.0 - brf) / (1.0 + brf)
+    r0_ = r0_ * r0_
+    omc = 1.0 - cosine
+    omc2 = omc * omc
+    prob = jnp.where(tir, 1.0, r0_ + (1.0 - r0_) * omc2 * omc2 * omc)
+    refl_bit = coin < prob
+
+    is_met = bcl == 1.0
+    is_die = bcl == 2.0
+    alive = live_h & ~(is_met & mabs)
+    miss = lv & ~hit
+
+    return dict(hit=hit, live_h=live_h, miss=miss, alive=alive,
+                ispl=ispl, root=broot > 0.0, ldeg=ldeg,
+                mabs=mabs, refl_bit=refl_bit, tir=tir,
+                inside=inside, is_met=is_met, is_die=is_die)
+
+
+def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
+                      rows, rng_mode, rng_impl, lean):
+    """One kernel = one full MSE training step over all spp samples."""
+    n_spheres = s_cols.shape[1]
+    n_planes = p_cols.shape[1]
+    f32 = jnp.float32
+    S_pad = max(n_spheres, 1)
+    P_pad = max(n_planes, 1)
+    scan = _make_scan(s_cols, p_cols, rows)
+    # wide per-primitive accumulators: (rows,128) running sums per
+    # (slot, primitive) — gate on VMEM footprint
+    wide = (9 * (n_spheres + n_planes) * rows * 128 * 4) <= (2 << 20)
+    inv_spp = 1.0 / spp
+
+    def kernel(cam_ref, seed_ref, tgt_ref, loss_ref, sg_ref, pg_ref, cg_ref):
+        tile = pl.program_id(0)
+
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        idx = (tile * rows + lane_r) * 128 + lane_c
+        px = (idx % width).astype(f32)
+        py = (idx // width).astype(f32)
+        maskf = (idx < width * height).astype(f32)
+
+        cam = [cam_ref[i] for i in range(15)]
+        zero = jnp.zeros((rows, 128), f32)
+        one = jnp.ones((rows, 128), f32)
+
+        draw_ctr = [0]
+        seed_cur = [0]
+
+        def u01():
+            if rng_impl == "hw":
+                return _u01((rows, 128))
+            draw_ctr[0] += 1
+            return _hash_u01(idx, seed_ref[seed_cur[0]], draw_ctr[0],
+                             (rows, 128))
+
+        # ------------- phase 1: forward sweeps, all samples ---------------
+        img = [zero, zero, zero]
+        sample_stash = []   # per sample: list of per-bounce dicts
+        raygen_vjps = []
+        for s in range(spp):
+            seed_cur[0] = s
+            draw_ctr[0] = 0
+            if rng_impl == "hw":
+                pltpu.prng_seed(seed_ref[s] + tile * jnp.int32(1000003))
+            u = u01()
+            v = u01()
+            if s == 0:
+                jx = jnp.full((rows, 128), f32(0.5))
+                jy = jnp.full((rows, 128), f32(0.5))
+            else:
+                jx, jy = u, v
+
+            def raygen(cam_v, jx=jx, jy=jy):
+                cpx, cpy, cpz = cam_v[0], cam_v[1], cam_v[2]
+                r = cam_v[3:12]
+                tan_half, aspect, near = cam_v[12], cam_v[13], cam_v[14]
+                nx_ = 2.0 * (px + jx) * f32(1.0 / width) - 1.0
+                ny_ = 1.0 - 2.0 * (py + jy) * f32(1.0 / height)
+                dvx = nx_ * tan_half * aspect
+                dvy = ny_ * tan_half
+                dwx = r[0] * dvx + r[1] * dvy - r[2]
+                dwy = r[3] * dvx + r[4] * dvy - r[5]
+                dwz = r[6] * dvx + r[7] * dvy - r[8]
+                ox = cpx + dwx * near
+                oy = cpy + dwy * near
+                oz = cpz + dwz * near
+                inv = jax.lax.rsqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+                return (ox, oy, oz, dwx * inv, dwy * inv, dwz * inv)
+
+            rays, rvjp = jax.vjp(raygen, tuple(cam))
+            raygen_vjps.append(rvjp)
+            ox, oy, oz, dx, dy, dz = rays
+
+            tr = one
+            tg = one
+            tb = one
+            live = one
+            stash = []
+            for b in range(max_bounces):
+                lv = live > 0.0
+                best_t, pay, bidx, bpl, broot, bcl = scan(
+                    (ox, oy, oz), (dx, dy, dz))
+                ux = u01()
+                uy = u01()
+                uz = u01()
+                if rng_mode == "sphere":
+                    ux = 2.0 * ux - 1.0
+                    uy = 2.0 * uy - 1.0
+                    uz = 2.0 * uz - 1.0
+                uinv = jax.lax.rsqrt(
+                    jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
+                ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
+                coin = u01()
+
+                bits = _decisions(best_t, pay, bpl, broot, bcl,
+                                  (ox, oy, oz), (dx, dy, dz), lv,
+                                  (ux, uy, uz), coin)
+                if lean:
+                    packed = jnp.zeros((rows, 128), jnp.int32)
+                    for k, name in enumerate(_BITS):
+                        packed = packed | jnp.where(bits[name],
+                                                    jnp.int32(1 << k),
+                                                    jnp.int32(0))
+                    stash.append(dict(
+                        o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
+                        u=(ux, uy, uz), packed=packed, bidx=bidx,
+                    ))
+                else:
+                    stash.append(dict(
+                        o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
+                        pay=pay, u=(ux, uy, uz), bits=bits,
+                        bidx=bidx, bpl=bpl,
+                    ))
+
+                o_n, d_n, thr_n, rad = _bounce_smooth(
+                    (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
+                    pay, (ux, uy, uz), bits,
+                )
+                img[0] += rad[0]
+                img[1] += rad[1]
+                img[2] += rad[2]
+                ox, oy, oz = o_n
+                dx, dy, dz = d_n
+                tr, tg, tb = thr_n
+                live = bits["alive"].astype(f32)
+            sample_stash.append(stash)
+
+        # ------------- phase 2: local loss + cotangent --------------------
+        diff = [(img[c] * f32(inv_spp) - tgt_ref[0, c]) * maskf
+                for c in range(3)]
+        loss_ref[0, 0] = jnp.sum(diff[0] * diff[0] + diff[1] * diff[1]
+                                 + diff[2] * diff[2])
+        cot_scale = f32(2.0 / (3.0 * width * height * spp))
+        cot = [d_ * cot_scale for d_ in diff]
+
+        # ------------- phase 3: reverse sweeps ----------------------------
+        if wide:
+            sacc = [[zero] * max(n_spheres, 1) for _ in range(9)]
+            pacc = [[zero] * max(n_planes, 1) for _ in range(9)]
+        sgrad = [[f32(0.0)] * S_pad for _ in range(9)]
+        pgrad = [[f32(0.0)] * P_pad for _ in range(9)]
+        cam_tot = None
+
+        for s in range(spp):
+            stash = sample_stash[s]
+            co = [zero, zero, zero]
+            cd = [zero, zero, zero]
+            ct = [zero, zero, zero]
+            for b in reversed(range(max_bounces)):
+                st = stash[b]
+                if lean:
+                    packed = st["packed"]
+                    rbits = {name: ((packed >> k) & 1) > 0
+                             for k, name in enumerate(_BITS)}
+                    hitb = rbits["hit"]
+                    isplb = rbits["ispl"]
+                    rcx = rcy = rcz = zero
+                    rrad = one
+                    rpnx = rpny = rpnz = rpdd = zero
+                    rar = rag = rab = zero
+                    rrf = one
+                    rrg = zero
+                    sph_m = hitb & ~isplb
+                    for si in range(n_spheres):
+                        m = sph_m & (st["bidx"] == f32(si))
+                        rcx = jnp.where(m, float(s_cols[0, si]), rcx)
+                        rcy = jnp.where(m, float(s_cols[1, si]), rcy)
+                        rcz = jnp.where(m, float(s_cols[2, si]), rcz)
+                        rrad = jnp.where(m, float(s_cols[3, si]), rrad)
+                        rar = jnp.where(m, float(s_cols[4, si]), rar)
+                        rag = jnp.where(m, float(s_cols[5, si]), rag)
+                        rab = jnp.where(m, float(s_cols[6, si]), rab)
+                        rrf = jnp.where(m, float(s_cols[7, si]), rrf)
+                        rrg = jnp.where(m, float(s_cols[8, si]), rrg)
+                    for p in range(n_planes):
+                        m = isplb & (st["bidx"] == f32(p))
+                        rpnx = jnp.where(m, float(p_cols[0, p]), rpnx)
+                        rpny = jnp.where(m, float(p_cols[1, p]), rpny)
+                        rpnz = jnp.where(m, float(p_cols[2, p]), rpnz)
+                        rpdd = jnp.where(m, float(p_cols[3, p]), rpdd)
+                        rar = jnp.where(m, float(p_cols[4, p]), rar)
+                        rag = jnp.where(m, float(p_cols[5, p]), rag)
+                        rab = jnp.where(m, float(p_cols[6, p]), rab)
+                        rrf = jnp.where(m, float(p_cols[7, p]), rrf)
+                        rrg = jnp.where(m, float(p_cols[8, p]), rrg)
+                    st = dict(st, bits=rbits,
+                              pay=(rcx, rcy, rcz, rrad, rpnx, rpny, rpnz,
+                                   rpdd, rar, rag, rab, rrf, rrg),
+                              bpl=isplb.astype(f32))
+
+                def fb(o3, d3, thr3, pay, st=st):
+                    return _bounce_smooth(o3, d3, thr3, pay, st["u"],
+                                          st["bits"])
+
+                primals = (st["o"], st["d"], st["thr"], st["pay"])
+                _, fvjp = jax.vjp(fb, *primals)
+                cots = fvjp(((co[0], co[1], co[2]), (cd[0], cd[1], cd[2]),
+                             (ct[0], ct[1], ct[2]), (cot[0], cot[1], cot[2])))
+                (co_p, cd_p, ct_p, pay_cot) = cots
+                co = list(co_p)
+                cd = list(cd_p)
+                ct = list(ct_p)
+
+                is_sph = ~(st["bpl"] > 0.0)
+                live_h = st["bits"]["live_h"]
+                if wide:
+                    for si in range(n_spheres):
+                        m = (st["bidx"] == f32(si)) & is_sph & live_h
+                        for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
+                            sacc[k][si] = sacc[k][si] + jnp.where(
+                                m, pay_cot[cslot], 0.0)
+                    for p in range(n_planes):
+                        m = (st["bidx"] == f32(p)) & (st["bpl"] > 0.0) & live_h
+                        for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
+                            pacc[k][p] = pacc[k][p] + jnp.where(
+                                m, pay_cot[cslot], 0.0)
+                else:
+                    for si in range(n_spheres):
+                        m = (st["bidx"] == f32(si)) & is_sph & live_h
+                        mf = m.astype(f32)
+                        for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
+                            sgrad[k][si] = sgrad[k][si] + jnp.sum(mf * pay_cot[cslot])
+                    for p in range(n_planes):
+                        m = (st["bidx"] == f32(p)) & (st["bpl"] > 0.0) & live_h
+                        mf = m.astype(f32)
+                        for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
+                            pgrad[k][p] = pgrad[k][p] + jnp.sum(mf * pay_cot[cslot])
+
+            (cam_cot,) = raygen_vjps[s]((co[0], co[1], co[2],
+                                         cd[0], cd[1], cd[2]))
+            cam_tot = list(cam_cot) if cam_tot is None else [
+                a + b for a, b in zip(cam_tot, cam_cot)]
+
+        if wide:
+            for k in range(9):
+                for si in range(n_spheres):
+                    sgrad[k][si] = jnp.sum(sacc[k][si])
+                for p in range(n_planes):
+                    pgrad[k][p] = jnp.sum(pacc[k][p])
+
+        for i in range(15):
+            cg_ref[0, 0, i] = cam_tot[i]
+        cg_ref[0, 0, 15] = f32(0.0)
+        for k in range(9):
+            for si in range(S_pad):
+                sg_ref[0, k, si] = sgrad[k][si] if n_spheres else f32(0.0)
+            for p in range(P_pad):
+                pg_ref[0, k, p] = pgrad[k][p] if n_planes else f32(0.0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_mono(scene_bytes, shapes, *, width, height, spp, max_bounces,
+                   rows, rng_mode, rng_impl, lean, interpret):
+    s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
+    p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
+    kernel = _make_mono_kernel(
+        s_cols, p_cols, width=width, height=height, spp=spp,
+        max_bounces=max_bounces, rows=rows, rng_mode=rng_mode,
+        rng_impl=rng_impl, lean=lean,
+    )
+    n = width * height
+    n_tiles = -(-n // (rows * 128))
+    S_pad = max(s_cols.shape[1], 1)
+    P_pad = max(p_cols.shape[1], 1)
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # cam, per-sample seeds
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 3, rows, 128), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 9, S_pad), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 9, P_pad), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 16), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 9, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 9, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, 16), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+    return call
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_grad(scene_bytes, shapes, *, width, height, max_bounces, rows,
                    rng_mode, center_sample, lean=False, rng_impl="hw",
@@ -592,6 +1052,7 @@ def pallas_mse_loss_and_grad(
     fwd_rows: Optional[int] = None,
     rng_impl: str = "hw",
     interpret: bool = False,
+    mode: str = "multi",
 ):
     """MSE loss + scene-parameter gradients, everything on-chip.
 
@@ -615,16 +1076,23 @@ def pallas_mse_loss_and_grad(
         raise ValueError("scene exceeds the fused grad kernel limits")
 
     s_cols, p_cols = _flatten_primitives(concrete, personality)
-    run = _compiled_pipeline(
-        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
-        bytes(np.asarray(concrete.spheres.material, np.int32)[:concrete.spheres.count]),
-        bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
+    common = dict(
         width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
-        rng_mode=rng_mode, lean=lean, fwd_rows=fwd_rows,
-        rng_impl=rng_impl, interpret=interpret,
+        rng_mode=rng_mode, lean=lean, rng_impl=rng_impl, interpret=interpret,
         S_table=scene.spheres.center.shape[0],
         M_table=scene.materials.albedo.shape[0],
     )
+    key_args = (
+        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
+        bytes(np.asarray(concrete.spheres.material, np.int32)[:concrete.spheres.count]),
+        bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
+    )
+    if mode == "mono":
+        run = _compiled_pipeline_mono(*key_args, **common)
+        target_dev = _target_blocks(target, w, h, rows)
+    else:
+        run = _compiled_pipeline(*key_args, fwd_rows=fwd_rows, **common)
+        target_dev = jnp.asarray(target, jnp.float32)
     cam = jnp.concatenate([
         jnp.asarray(concrete.camera.position, jnp.float32),
         jnp.asarray(concrete.camera.rotation, jnp.float32).reshape(-1),
@@ -632,7 +1100,7 @@ def pallas_mse_loss_and_grad(
             np.tan(concrete.camera.vfov * 0.5), w / h, concrete.camera.near, 0.0
         ], jnp.float32),
     ])
-    loss, grads = run(cam, jnp.int32(seed), jnp.asarray(target, jnp.float32))
+    loss, grads = run(cam, jnp.int32(seed), target_dev)
     return loss, grads
 
 
@@ -651,6 +1119,7 @@ def make_mse_step(
     fwd_rows: Optional[int] = None,
     rng_impl: str = "hw",
     interpret: bool = False,
+    mode: str = "multi",
     dbg: tuple = (),
 ):
     """Prebuilt fwd+bwd step: ``step(seed) -> (loss, grads)``.
@@ -660,6 +1129,12 @@ def make_mse_step(
     one fused dispatch.  This is the steady-state training-loop shape — per
     step the host does no tracing, no tree flattening and no small-array
     uploads (each of those is a round trip through the remote-TPU tunnel).
+
+    ``mode="mono"``: the whole step — all spp forward sweeps, MSE
+    loss/cotangent, reverse sweeps, per-primitive reductions — runs in ONE
+    pallas kernel (see the mono-kernel section above).  ``mode="multi"``
+    is the per-sample pipeline (one forward megakernel + one grad kernel
+    per sample), with the dbg cost-split knobs.
     """
     from ..diff import apply_params
 
@@ -671,16 +1146,24 @@ def make_mse_step(
         raise ValueError("scene exceeds the fused grad kernel limits")
 
     s_cols, p_cols = _flatten_primitives(concrete, personality)
-    run = _compiled_pipeline(
-        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
-        bytes(np.asarray(concrete.spheres.material, np.int32)[:concrete.spheres.count]),
-        bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
+    common = dict(
         width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
-        rng_mode=rng_mode, lean=lean, fwd_rows=fwd_rows,
-        rng_impl=rng_impl, interpret=interpret, dbg=dbg,
+        rng_mode=rng_mode, lean=lean, rng_impl=rng_impl, interpret=interpret,
         S_table=scene.spheres.center.shape[0],
         M_table=scene.materials.albedo.shape[0],
     )
+    key_args = (
+        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
+        bytes(np.asarray(concrete.spheres.material, np.int32)[:concrete.spheres.count]),
+        bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
+    )
+    if mode == "mono":
+        run = _compiled_pipeline_mono(*key_args, **common)
+        target_dev = _target_blocks(target, w, h, rows)
+    else:
+        run = _compiled_pipeline(*key_args, fwd_rows=fwd_rows, dbg=dbg,
+                                 **common)
+        target_dev = jnp.asarray(target, jnp.float32)
     cam = jnp.concatenate([
         jnp.asarray(concrete.camera.position, jnp.float32),
         jnp.asarray(concrete.camera.rotation, jnp.float32).reshape(-1),
@@ -688,7 +1171,6 @@ def make_mse_step(
             np.tan(concrete.camera.vfov * 0.5), w / h, concrete.camera.near, 0.0
         ], jnp.float32),
     ])
-    target_dev = jnp.asarray(target, jnp.float32)
 
     def step(seed: int):
         return run(cam, jnp.int32(seed), target_dev)
@@ -763,37 +1245,86 @@ def _compiled_pipeline(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
             pg_total = jnp.zeros((9, max(npl, 1)), jnp.float32)
             cg_total = jnp.zeros((16,), jnp.float32)
 
-        g_center = jnp.zeros((S_table, 3), jnp.float32)
-        g_radius = jnp.zeros((S_table,), jnp.float32)
-        if ns:
-            g_center = g_center.at[:ns].set(sg_total[0:3, :ns].T)
-            g_radius = g_radius.at[:ns].set(sg_total[3, :ns])
-
-        g_alb = jnp.zeros((M_table, 4), jnp.float32)
-        g_refl = jnp.zeros((M_table,), jnp.float32)
-        g_rough = jnp.zeros((M_table,), jnp.float32)
-        if ns:
-            g_alb = g_alb.at[s_mat, 0].add(sg_total[4, :ns])
-            g_alb = g_alb.at[s_mat, 1].add(sg_total[5, :ns])
-            g_alb = g_alb.at[s_mat, 2].add(sg_total[6, :ns])
-            g_refl = g_refl.at[s_mat].add(sg_total[7, :ns])
-            g_rough = g_rough.at[s_mat].add(sg_total[8, :ns])
-        if npl:
-            g_alb = g_alb.at[p_mat, 0].add(pg_total[4, :npl])
-            g_alb = g_alb.at[p_mat, 1].add(pg_total[5, :npl])
-            g_alb = g_alb.at[p_mat, 2].add(pg_total[6, :npl])
-            g_refl = g_refl.at[p_mat].add(pg_total[7, :npl])
-            g_rough = g_rough.at[p_mat].add(pg_total[8, :npl])
-
-        grads = {
-            "spheres.center": g_center,
-            "spheres.radius": g_radius,
-            "materials.albedo": g_alb,
-            "materials.roughness": g_rough,
-            "materials.reflectivity": g_refl,
-            "camera.position": cg_total[0:3],
-            "camera.rotation": cg_total[3:12].reshape(3, 3),
-        }
+        grads = _assemble_grads(sg_total, pg_total, cg_total, s_mat, p_mat,
+                                S_table, M_table)
         return loss, grads
 
     return run
+
+
+def _assemble_grads(sg_total, pg_total, cg_total, s_mat, p_mat,
+                    S_table, M_table):
+    """Per-primitive gradient rows -> the extract_params-keyed pytree."""
+    ns = s_mat.shape[0]
+    npl = p_mat.shape[0]
+    g_center = jnp.zeros((S_table, 3), jnp.float32)
+    g_radius = jnp.zeros((S_table,), jnp.float32)
+    if ns:
+        g_center = g_center.at[:ns].set(sg_total[0:3, :ns].T)
+        g_radius = g_radius.at[:ns].set(sg_total[3, :ns])
+
+    g_alb = jnp.zeros((M_table, 4), jnp.float32)
+    g_refl = jnp.zeros((M_table,), jnp.float32)
+    g_rough = jnp.zeros((M_table,), jnp.float32)
+    if ns:
+        g_alb = g_alb.at[s_mat, 0].add(sg_total[4, :ns])
+        g_alb = g_alb.at[s_mat, 1].add(sg_total[5, :ns])
+        g_alb = g_alb.at[s_mat, 2].add(sg_total[6, :ns])
+        g_refl = g_refl.at[s_mat].add(sg_total[7, :ns])
+        g_rough = g_rough.at[s_mat].add(sg_total[8, :ns])
+    if npl:
+        g_alb = g_alb.at[p_mat, 0].add(pg_total[4, :npl])
+        g_alb = g_alb.at[p_mat, 1].add(pg_total[5, :npl])
+        g_alb = g_alb.at[p_mat, 2].add(pg_total[6, :npl])
+        g_refl = g_refl.at[p_mat].add(pg_total[7, :npl])
+        g_rough = g_rough.at[p_mat].add(pg_total[8, :npl])
+
+    return {
+        "spheres.center": g_center,
+        "spheres.radius": g_radius,
+        "materials.albedo": g_alb,
+        "materials.roughness": g_rough,
+        "materials.reflectivity": g_refl,
+        "camera.position": cg_total[0:3],
+        "camera.rotation": cg_total[3:12].reshape(3, 3),
+    }
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_pipeline_mono(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
+                            width, height, spp, max_bounces, rows, rng_mode,
+                            S_table, M_table, lean=False, rng_impl="hw",
+                            interpret=False):
+    """One jitted dispatch around the mono kernel: seeds + tile sums +
+    gradient assembly (the kernel itself does everything else)."""
+    n = width * height
+    s_mat = np.frombuffer(s_mat_bytes, np.int32)
+    p_mat = np.frombuffer(p_mat_bytes, np.int32)
+
+    call = _compiled_mono(scene_bytes, shapes, width=width, height=height,
+                          spp=spp, max_bounces=max_bounces, rows=rows,
+                          rng_mode=rng_mode, rng_impl=rng_impl, lean=lean,
+                          interpret=interpret)
+
+    @jax.jit
+    def run(cam, seed0, target_blocks):
+        seeds = seed0 * jnp.int32(100003) + jnp.arange(spp, dtype=jnp.int32)
+        lp, sg, pg, cg = call(cam, seeds, target_blocks)
+        loss = lp.sum() * jnp.float32(1.0 / (3.0 * n))
+        grads = _assemble_grads(sg.sum(axis=0), pg.sum(axis=0),
+                                cg.sum(axis=(0, 1)), s_mat, p_mat,
+                                S_table, M_table)
+        return loss, grads
+
+    return run
+
+
+def _target_blocks(target, width, height, rows):
+    """(H, W, 3) target -> the kernel's (n_tiles, 3, rows, 128) block
+    layout, computed host-side ONCE per step builder."""
+    n = width * height
+    n_tiles = -(-n // (rows * 128))
+    flat = np.zeros((n_tiles * rows * 128, 3), np.float32)
+    flat[:n] = np.asarray(target, np.float32).reshape(n, 3)
+    return jnp.asarray(
+        flat.reshape(n_tiles, rows, 128, 3).transpose(0, 3, 1, 2))

@@ -25,6 +25,7 @@ __all__ = [
     "find_by_name_fuzzy",
     "register_renderer",
     "create",
+    "auto_route",
 ]
 
 
@@ -88,6 +89,32 @@ def create(name: str) -> Callable:
     if d is None:
         raise KeyError(f"no known renderer with name '{name}'")
     return d.create()
+
+
+def auto_route(scene, platform: str) -> tuple:
+    """Pick the fastest supported forward path for ``mg_auto``/``sm_auto``.
+
+    Returns ``(route, warning)`` with route in {"pallas", "blockwise",
+    "jnp"}; ``warning`` is a message when an accelerator is present but the
+    scene forces the (much slower) jnp wavefront — surfaced via
+    rt_tpu.log.warn_once so the 10-100x slowdown is never silent."""
+    if platform not in ("cpu",):
+        from .ops.pallas_blockwise import MAX_BLOCKWISE_PRIMS, blockwise_supported
+        from .ops.pallas_render import pallas_supported
+
+        if pallas_supported(scene):
+            return "pallas", None
+        if blockwise_supported(scene):
+            return "blockwise", None
+        n = scene.spheres.count + scene.planes.count
+        why = (f"{n} primitives > {MAX_BLOCKWISE_PRIMS}"
+               if n > MAX_BLOCKWISE_PRIMS else
+               f"{scene.boxes.count} box(es) in the scene")
+        return "jnp", (
+            "auto renderer: scene unsupported by the TPU kernels "
+            f"({why}) — falling back to the jnp wavefront "
+            "(roughly 20x slower than the megakernel)")
+    return "jnp", None
 
 
 def _install_builtins() -> None:
@@ -156,26 +183,26 @@ def _install_builtins() -> None:
             def render(scene, size, key=None, *, seed: int = 0, **opts):
                 import jax
 
-                if jax.devices()[0].platform not in ("cpu",):
-                    from .ops.pallas_blockwise import (
-                        blockwise_supported,
-                        render_forward_blockwise,
-                    )
-                    from .ops.pallas_render import (
-                        pallas_supported,
-                        render_forward_pallas,
-                    )
+                route, warning = auto_route(
+                    scene, jax.devices()[0].platform)
+                if warning is not None:
+                    from .log import warn_once
 
-                    if pallas_supported(scene):
-                        opts.pop("rng_mode", None)
-                        return render_forward_pallas(
-                            scene, size, seed=seed,
-                            personality=personality, **opts)
-                    if blockwise_supported(scene):
-                        opts.pop("rng_mode", None)
-                        return render_forward_blockwise(
-                            scene, size, seed=seed,
-                            personality=personality, **opts)
+                    warn_once(("auto", personality, warning), warning)
+                if route == "pallas":
+                    from .ops.pallas_render import render_forward_pallas
+
+                    opts.pop("rng_mode", None)
+                    return render_forward_pallas(
+                        scene, size, seed=seed,
+                        personality=personality, **opts)
+                if route == "blockwise":
+                    from .ops.pallas_blockwise import render_forward_blockwise
+
+                    opts.pop("rng_mode", None)
+                    return render_forward_blockwise(
+                        scene, size, seed=seed,
+                        personality=personality, **opts)
                 if key is None:
                     from . import rng
 

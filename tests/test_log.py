@@ -1,0 +1,84 @@
+"""Silent-fallback visibility (VERDICT r1 item 9): the performance-relevant
+downgrades must warn (once), and the records-pipeline recompile must log."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+import rt_tpu
+from rt_tpu import log as rtlog
+
+
+@pytest.fixture(autouse=True)
+def _fresh_warnings():
+    rtlog.reset_warnings()
+    yield
+    rtlog.reset_warnings()
+
+
+def test_warn_once_is_once(capsys):
+    assert rtlog.warn_once("k", "message one")
+    assert not rtlog.warn_once("k", "message one")
+    err = capsys.readouterr().err
+    assert err.count("message one") == 1
+
+
+def test_sharded_replay_downgrade_warns(capsys):
+    from rt_tpu import dist
+
+    mesh = dist.make_mesh(2, 2, devices=jax.devices()[:4])
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    img = dist.render_image_sharded(
+        s, (32, 24), jr.key(0), mesh, spp=1, max_bounces=2,
+        grad_mode="replay")
+    np.asarray(img)
+    err = capsys.readouterr().err
+    assert "downgrading to autodiff" in err
+    # second render: no duplicate warning
+    np.asarray(dist.render_image_sharded(
+        s, (32, 24), jr.key(0), mesh, spp=1, max_bounces=2,
+        grad_mode="replay"))
+    assert "downgrading" not in capsys.readouterr().err
+
+
+def test_auto_route_warns_on_unsupported_scene():
+    from rt_tpu.renderer import auto_route
+
+    small = rt_tpu.load("/root/reference/scenes/basic.toml")
+    assert auto_route(small, "tpu") == ("pallas", None)
+    assert auto_route(small, "cpu") == ("jnp", None)
+
+    big = rt_tpu.scene.make_procedural_scene(700)
+    route, warning = auto_route(big, "tpu")
+    assert route == "blockwise" and warning is None
+
+    boxy = rt_tpu.loads(
+        "materials = [ { type = 'lambert' } ]\nboxes = [ { material = 0 } ]\n"
+    )
+    route, warning = auto_route(boxy, "tpu")
+    assert route == "jnp"
+    assert "box" in warning
+
+
+def test_records_pipeline_recompile_logs(capsys):
+    from rt_tpu import diff
+
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    size, spp, B = (16, 8), 1, 2
+    params = diff.extract_params(s)
+    target = jnp.zeros((size[1], size[0], 3), jnp.float32)
+    kw = dict(seed=0, spp=spp, max_bounces=B, rng_impl="hash", interpret=True)
+
+    diff.pallas_loss_and_grad(params, s, target, size, **kw)
+    capsys.readouterr()
+    # same params: no recompile log
+    diff.pallas_loss_and_grad(params, s, target, size, **kw)
+    assert "recompiles" not in capsys.readouterr().err
+    # changed param values: the silent recompile is now logged
+    p2 = dict(params)
+    p2["spheres.radius"] = params["spheres.radius"] + 0.01
+    diff.pallas_loss_and_grad(p2, s, target, size, **kw)
+    assert "recompiles" in capsys.readouterr().err

@@ -152,9 +152,11 @@ def test_interpret_record_replay_roundtrip():
     np.testing.assert_allclose(kernel_img, replayed, atol=1e-4)
 
 
-def test_interpret_fused_grad_matches_replay():
-    # the fused fwd+bwd kernel and the record→replay pipeline implement the
-    # same detached-sampling gradient; with the shared hash RNG they see the
+@pytest.mark.parametrize("mode", ["multi", "mono"])
+def test_interpret_fused_grad_matches_replay(mode):
+    # the fused fwd+bwd kernels (per-sample pipeline AND the one-dispatch
+    # mono kernel) and the record→replay pipeline implement the same
+    # detached-sampling gradient; with the shared hash RNG they see the
     # same paths and draws, so gradients must agree (VERDICT r1 item 2b)
     from rt_tpu import diff
     from rt_tpu.ops.pallas_grad import pallas_mse_loss_and_grad
@@ -166,7 +168,7 @@ def test_interpret_fused_grad_matches_replay():
 
     loss_f, g_f = pallas_mse_loss_and_grad(
         params, s, target, size, seed=1, spp=spp, max_bounces=B,
-        rows=8, rng_impl="hash", interpret=True)
+        rows=8, rng_impl="hash", interpret=True, mode=mode)
     loss_r, g_r = diff.pallas_loss_and_grad(
         params, s, target, size, seed=1, spp=spp, max_bounces=B,
         rng_impl="hash", interpret=True)
@@ -194,3 +196,30 @@ def test_make_render_step_structure():
     assert seeds[0] == 7
     assert seeds[1] == (7 * 1103515245 + 12345) % (2**31 - 1)
     assert seeds[2] == (int(seeds[1]) * 1103515245 + 12345) % (2**31 - 1)
+
+
+def test_interpret_fused_grad_matches_replay_spp3():
+    # spp=3 exercises the records pipeline's rec_calls[1 % len] reuse for
+    # samples >= 2 (only the seed differs) — guards the seed-reuse subtlety
+    # in diff._records_pipeline (VERDICT r1 item 10)
+    from rt_tpu import diff
+    from rt_tpu.ops.pallas_grad import pallas_mse_loss_and_grad
+
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    size, spp, B = (24, 16), 3, 2
+    params = diff.extract_params(s)
+    target = jnp.zeros((size[1], size[0], 3), jnp.float32) + 0.25
+
+    loss_f, g_f = pallas_mse_loss_and_grad(
+        params, s, target, size, seed=11, spp=spp, max_bounces=B,
+        rows=8, rng_impl="hash", interpret=True)
+    loss_r, g_r = diff.pallas_loss_and_grad(
+        params, s, target, size, seed=11, spp=spp, max_bounces=B,
+        rng_impl="hash", interpret=True)
+
+    assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-5)
+    for k in g_r:
+        a, b = np.asarray(g_f[k]), np.asarray(g_r[k])
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-3,
+                                   err_msg=k)
