@@ -186,8 +186,12 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
 
         zero = jnp.zeros(shape, f32)
         one = jnp.ones(shape, f32)
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (block, _LANES), 0)
-        rowf = rowi.astype(f32)
+        p_block = min(block, p_pad)
+        s_block = min(block, s_pad)
+        prowi = jax.lax.broadcasted_iota(jnp.int32, (p_block, _LANES), 0)
+        prowf = prowi.astype(f32)
+        srowi = jax.lax.broadcasted_iota(jnp.int32, (s_block, _LANES), 0)
+        srowf = srowi.astype(f32)
 
         acc = [zero, zero, zero]
 
@@ -234,7 +238,7 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                 )
 
                 def scan_planes(ib, carry):
-                    blk = pln_ref[pl.ds(ib * block, block), :]
+                    blk = pln_ref[pl.ds(ib * p_block, p_block), :]
                     pnx = blk[:, 0:1]
                     pny = blk[:, 1:2]
                     pnz = blk[:, 2:3]
@@ -243,13 +247,13 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     no = pnx * ox + pny * oy + pnz * oz + pdd
                     safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
                     t = -no / safe
-                    valid = (ib * block + rowi) < n_pln
+                    valid = (ib * p_block + prowi) < n_pln
                     ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
                     t = jnp.where(ok, t, f32(_BIG))
                     tmin = jnp.min(t, axis=0, keepdims=True)
-                    winrow = jnp.min(jnp.where(t == tmin, rowf, f32(1e9)),
+                    winrow = jnp.min(jnp.where(t == tmin, prowf, f32(1e9)),
                                      axis=0, keepdims=True)
-                    msk = ((t == tmin) & (rowf == winrow)).astype(f32)
+                    msk = ((t == tmin) & (prowf == winrow)).astype(f32)
 
                     best_t = carry[0]
                     better = tmin < best_t  # strict: earliest index wins
@@ -275,7 +279,7 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     return new
 
                 def scan_spheres(ib, carry):
-                    blk = sph_ref[pl.ds(ib * block, block), :]
+                    blk = sph_ref[pl.ds(ib * s_block, s_block), :]
                     cx = blk[:, 0:1]
                     cy = blk[:, 1:2]
                     cz = blk[:, 2:3]
@@ -288,13 +292,13 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     t0 = -bq - sq
                     t1 = -bq + sq
                     t = jnp.where(t0 >= _MIN_HIT, t0, t1)
-                    valid = (ib * block + rowi) < n_sph
+                    valid = (ib * s_block + srowi) < n_sph
                     ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
                     t = jnp.where(ok, t, f32(_BIG))
                     tmin = jnp.min(t, axis=0, keepdims=True)
-                    winrow = jnp.min(jnp.where(t == tmin, rowf, f32(1e9)),
+                    winrow = jnp.min(jnp.where(t == tmin, srowf, f32(1e9)),
                                      axis=0, keepdims=True)
-                    msk = ((t == tmin) & (rowf == winrow)).astype(f32)
+                    msk = ((t == tmin) & (srowf == winrow)).astype(f32)
 
                     best_t = carry[0]
                     # spheres win a plane tie, strict '<' among themselves
@@ -331,18 +335,18 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     onorm = ox * ox + oy * oy + oz * oz
 
                 def scan_planes_mxu(ib, carry):
-                    blk = pln_ref[:, pl.ds(ib * block, block)]  # (16, B)
+                    blk = pln_ref[:, pl.ds(ib * p_block, p_block)]  # (16, B)
                     nd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
                     no = _dot(blk[0:4], o4p, (((0,), (0,)), ((), ())))
                     safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
                     t = -no / safe
-                    valid = (ib * block + rowi) < n_pln
+                    valid = (ib * p_block + prowi) < n_pln
                     ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
                     t = jnp.where(ok, t, f32(_BIG))
                     tmin = jnp.min(t, axis=0, keepdims=True)
-                    winrow = jnp.min(jnp.where(t == tmin, rowf, f32(1e9)),
+                    winrow = jnp.min(jnp.where(t == tmin, prowf, f32(1e9)),
                                      axis=0, keepdims=True)
-                    msk = ((t == tmin) & (rowf == winrow)).astype(f32)
+                    msk = ((t == tmin) & (prowf == winrow)).astype(f32)
                     best_t = carry[0]
                     better = tmin < best_t  # strict: earliest index wins
                     # winner payload: one-hot contraction on the MXU (exact:
@@ -366,7 +370,7 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     return new
 
                 def scan_spheres_mxu(ib, carry):
-                    blk = sph_ref[:, pl.ds(ib * block, block)]  # (16, B)
+                    blk = sph_ref[:, pl.ds(ib * s_block, s_block)]  # (16, B)
                     # bq = oc.d = o.d - C@D; c0 = |oc|^2 - r^2
                     #    = |o|^2 + [cnorm, -2c] @ [1, o]
                     cd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
@@ -378,13 +382,13 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     t0 = -bq - sq
                     t1 = -bq + sq
                     t = jnp.where(t0 >= _MIN_HIT, t0, t1)
-                    valid = (ib * block + rowi) < n_sph
+                    valid = (ib * s_block + srowi) < n_sph
                     ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
                     t = jnp.where(ok, t, f32(_BIG))
                     tmin = jnp.min(t, axis=0, keepdims=True)
-                    winrow = jnp.min(jnp.where(t == tmin, rowf, f32(1e9)),
+                    winrow = jnp.min(jnp.where(t == tmin, srowf, f32(1e9)),
                                      axis=0, keepdims=True)
-                    msk = ((t == tmin) & (rowf == winrow)).astype(f32)
+                    msk = ((t == tmin) & (srowf == winrow)).astype(f32)
                     best_t = carry[0]
                     # spheres win a plane tie, strict '<' among themselves
                     better = (tmin < best_t) | (
@@ -407,8 +411,8 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     )
                     return new
 
-                n_pblk = (n_pln + block - 1) // block
-                n_sblk = (n_sph + block - 1) // block
+                n_pblk = (n_pln + p_block - 1) // p_block
+                n_sblk = (n_sph + s_block - 1) // s_block
                 plane_fn = scan_planes_mxu if mxu else scan_planes
                 sphere_fn = scan_spheres_mxu if mxu else scan_spheres
 

@@ -826,8 +826,8 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
         # ------------- phase 2: local loss + cotangent --------------------
         diff = [(img[c] * f32(inv_spp) - tgt_ref[0, c]) * maskf
                 for c in range(3)]
-        loss_ref[0, 0] = jnp.sum(diff[0] * diff[0] + diff[1] * diff[1]
-                                 + diff[2] * diff[2])
+        loss_ref[0, 0, 0] = jnp.sum(diff[0] * diff[0] + diff[1] * diff[1]
+                                    + diff[2] * diff[2])
         cot_scale = f32(2.0 / (3.0 * width * height * spp))
         cot = [d_ * cot_scale for d_ in diff]
 
@@ -972,7 +972,7 @@ def _compiled_mono(scene_bytes, shapes, *, width, height, spp, max_bounces,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((1, 1), lambda i, *_: (i, 0),
+                pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 9, S_pad), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -983,7 +983,7 @@ def _compiled_mono(scene_bytes, shapes, *, width, height, spp, max_bounces,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 9, S_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 9, P_pad), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, 16), jnp.float32),
