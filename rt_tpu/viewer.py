@@ -136,6 +136,17 @@ def interactive(
     dirty = True
     full_quality_pending = False
 
+    def update_title():
+        # terminal-title status line (the reference's window title carries
+        # "rt - <scene> - <renderer>", main.cpp:154-163; OSC 0 is the
+        # terminal analogue)
+        parts = ["rt"]
+        if scene.path:
+            parts.append(scene.path)
+        parts.append(names[r_idx])
+        sys.stdout.write("\x1b]0;" + " - ".join(parts) + "\x07")
+        sys.stdout.flush()
+
     def draw(low_res: bool):
         if low_res:
             small = (max(int(size[0] * low_res_scale), 16),
@@ -146,6 +157,7 @@ def interactive(
             img = np.asarray(render(scene, size, key, **opts))
         sys.stdout.write("\x1b[H\x1b[2J")
         print_preview(img, max_width=size[0] // 2)
+        update_title()
         print(f"[{names[r_idx]}] {scene.path or '<default>'}  "
               "wasd/space/c move, arrows look, +/- renderer, r reload, q quit")
 

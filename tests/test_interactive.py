@@ -76,9 +76,12 @@ def test_viewer_interactive_pty(tmp_path):
         # initial full-quality frame with the requested renderer
         _read_until(master, r"\[null_renderer\]", proc=proc)
 
-        # '-' cycles back to the rasterizer (registry order)
+        # '-' cycles back to the rasterizer (registry order); the terminal
+        # title carries the status line (main.cpp:154-163 analogue)
         os.write(master, b"-")
-        _read_until(master, r"\[rasterizer\]", proc=proc)
+        _read_until(master,
+                    r"(?s)\x1b\]0;rt - .*scene\.toml - rasterizer\x07"
+                    r".*\[rasterizer\]", proc=proc)
 
         # movement: low-res frame now, full-quality one ~0.5 s later
         os.write(master, b"w")
