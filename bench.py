@@ -214,7 +214,11 @@ def main():
     secs = (time.perf_counter() - t0) / iters
     mrays = size[0] * size[1] * spp / secs / 1e6
 
-    # gradient sanity: finite + a smooth-path FD check on reflectivity
+    # gradient sanity: finite + a smooth-path FD check on reflectivity.
+    # When the fused Pallas kernel produced the benched gradients, the FD
+    # check goes through the KERNEL's own loss (same seed -> same hw-PRNG
+    # draws, so the difference quotient sees the same estimator the
+    # analytic gradient differentiates); otherwise the jnp pipeline.
     grad_ok = bool(all(np.all(np.isfinite(np.asarray(g))) for g in grads.values()))
     if grad_ok and not args.quick:
         eps = 1e-3
@@ -224,10 +228,20 @@ def main():
         small = (200, 150)
         tgt_s = jnp.zeros((small[1], small[0], 3), jnp.float32)
         base_args = dict(spp=2, max_bounces=4)
-        l_hi = float(diff.image_loss(p_hi, scene, tgt_s, small, key, **base_args))
-        l_lo = float(diff.image_loss(p_lo, scene, tgt_s, small, key, **base_args))
+        if use_fused:
+            from rt_tpu.ops.pallas_grad import pallas_mse_loss_and_grad
+
+            kw = dict(seed=17, **base_args)
+            _, g_small = pallas_mse_loss_and_grad(
+                params, scene, tgt_s, small, **kw)
+            l_hi, _ = pallas_mse_loss_and_grad(p_hi, scene, tgt_s, small, **kw)
+            l_lo, _ = pallas_mse_loss_and_grad(p_lo, scene, tgt_s, small, **kw)
+            l_hi, l_lo = float(l_hi), float(l_lo)
+        else:
+            l_hi = float(diff.image_loss(p_hi, scene, tgt_s, small, key, **base_args))
+            l_lo = float(diff.image_loss(p_lo, scene, tgt_s, small, key, **base_args))
+            _, g_small = diff.loss_and_grad(params, scene, tgt_s, small, key, **base_args)
         fd = (l_hi - l_lo) / (2 * eps)
-        _, g_small = diff.loss_and_grad(params, scene, tgt_s, small, key, **base_args)
         an = float(g_small[name][0])
         grad_ok = abs(an - fd) <= max(2e-2 * abs(fd), 1e-4)
 

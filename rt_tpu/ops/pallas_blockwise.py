@@ -143,7 +143,7 @@ def _hw_u01(shape):
 
 def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                            max_bounces, rng_mode, rng_impl, center_sample,
-                           block=_BLOCK, mxu=False):
+                           block=_BLOCK, mxu=False, scan="payload"):
     """Kernel body.  Refs: meta (SMEM scalars: seed, sphere count, plane
     count), cam (SMEM scalars), sphere table (s_pad, 16) VMEM — or
     transposed (16, s_pad) when ``mxu`` — plane table likewise, out
@@ -411,14 +411,137 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     )
                     return new
 
+                # ---- lean-carry scan (scan="lean") -----------------------
+                # The payload-carry scans above spend ~half their VPU ops on
+                # the 10 masked `pick()` reductions per block.  The reverse
+                # sweep of the grad kernel taught us the fix (pallas_grad
+                # lean mode): the scan only needs to *identify* the winner —
+                # carry (best_t, global winner index, is-plane) and fetch the
+                # payload ONCE per bounce afterwards with an exact one-hot
+                # contraction over the whole table (0/1 mask x f32 payload
+                # splits exactly across the bf16 MXU passes under HIGHEST, so
+                # the fetched values are bit-identical to a VPU select).
+                lean_init = (jnp.full(shape, f32(_BIG)), zero, zero)
+
+                def lean_planes(ib, carry):
+                    if mxu:
+                        blk = pln_ref[:, pl.ds(ib * p_block, p_block)]
+                        nd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
+                        no = _dot(blk[0:4], o4p, (((0,), (0,)), ((), ())))
+                    else:
+                        blk = pln_ref[pl.ds(ib * p_block, p_block), :]
+                        pnx = blk[:, 0:1]
+                        pny = blk[:, 1:2]
+                        pnz = blk[:, 2:3]
+                        pdd = blk[:, 3:4]
+                        nd = pnx * dx + pny * dy + pnz * dz
+                        no = pnx * ox + pny * oy + pnz * oz + pdd
+                    safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
+                    t = -no / safe
+                    valid = (ib * p_block + prowi) < n_pln
+                    ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
+                    t = jnp.where(ok, t, f32(_BIG))
+                    tmin = jnp.min(t, axis=0, keepdims=True)
+                    winrow = jnp.min(jnp.where(t == tmin, prowf, f32(1e9)),
+                                     axis=0, keepdims=True)
+                    best_t, bidxf, isplf = carry
+                    better = tmin < best_t  # strict: earliest index wins
+                    gwin = f32(1.0) * ib * p_block + winrow
+                    return (jnp.where(better, tmin, best_t),
+                            jnp.where(better, gwin, bidxf),
+                            jnp.where(better, one, isplf))
+
+                def lean_spheres(ib, carry):
+                    if mxu:
+                        blk = sph_ref[:, pl.ds(ib * s_block, s_block)]
+                        cd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
+                        c0p = _dot(blk[10:14], o4s, (((0,), (0,)), ((), ())))
+                        bq = odot - cd
+                        c0 = onorm + c0p
+                    else:
+                        blk = sph_ref[pl.ds(ib * s_block, s_block), :]
+                        cx = blk[:, 0:1]
+                        cy = blk[:, 1:2]
+                        cz = blk[:, 2:3]
+                        rad = blk[:, 3:4]
+                        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                        bq = ocx * dx + ocy * dy + ocz * dz
+                        c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                    disc = bq * bq - c0
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    t0 = -bq - sq
+                    t1 = -bq + sq
+                    t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+                    valid = (ib * s_block + srowi) < n_sph
+                    ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
+                    t = jnp.where(ok, t, f32(_BIG))
+                    tmin = jnp.min(t, axis=0, keepdims=True)
+                    winrow = jnp.min(jnp.where(t == tmin, srowf, f32(1e9)),
+                                     axis=0, keepdims=True)
+                    best_t, bidxf, isplf = carry
+                    # spheres win a plane tie, strict '<' among themselves
+                    better = (tmin < best_t) | (
+                        (tmin == best_t) & (isplf > 0.0) & (tmin < f32(_BIG))
+                    )
+                    gwin = f32(1.0) * ib * s_block + winrow
+                    return (jnp.where(better, tmin, best_t),
+                            jnp.where(better, gwin, bidxf),
+                            jnp.where(better, zero, isplf))
+
                 n_pblk = (n_pln + p_block - 1) // p_block
                 n_sblk = (n_sph + s_block - 1) // s_block
-                plane_fn = scan_planes_mxu if mxu else scan_planes
-                sphere_fn = scan_spheres_mxu if mxu else scan_spheres
+                if scan == "lean":
+                    plane_fn, sphere_fn = lean_planes, lean_spheres
+                else:
+                    plane_fn = scan_planes_mxu if mxu else scan_planes
+                    sphere_fn = scan_spheres_mxu if mxu else scan_spheres
+
+                def extract(rec):
+                    """Lean carries -> the 14-slot payload tuple, via one
+                    one-hot contraction per table (exact, see above)."""
+                    best_t, bidxf, isplf = rec
+                    hitb = best_t < f32(1e37)
+                    # Mosaic iota must be integer-typed; bidx is a small
+                    # exact integer in f32, so the int cast is lossless
+                    bidx_i = bidxf.astype(jnp.int32)
+                    s_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (s_pad, _LANES), 0)
+                    p_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (p_pad, _LANES), 0)
+                    s_oh = ((s_iota == bidx_i) & hitb
+                            & (isplf == 0.0)).astype(f32)
+                    p_oh = ((p_iota == bidx_i) & (isplf > 0.0)).astype(f32)
+                    if mxu:
+                        s_pay = _dot(sph_ref[...], s_oh,
+                                     (((1,), (0,)), ((), ())))
+                        p_pay = _dot(pln_ref[...], p_oh,
+                                     (((1,), (0,)), ((), ())))
+                    else:
+                        s_pay = _dot(sph_ref[...], s_oh,
+                                     (((0,), (0,)), ((), ())))
+                        p_pay = _dot(pln_ref[...], p_oh,
+                                     (((0,), (0,)), ((), ())))
+                    pick = lambda pay, c: pay[c:c + 1]
+                    sel = lambda c: jnp.where(isplf > 0.0, pick(p_pay, c),
+                                              pick(s_pay, c))
+                    return (
+                        best_t,
+                        pick(s_pay, 0), pick(s_pay, 1), pick(s_pay, 2),
+                        pick(p_pay, 0), pick(p_pay, 1), pick(p_pay, 2),
+                        sel(4), sel(5), sel(6),
+                        # miss lanes fetch nothing: refl falls to 0, but the
+                        # payload-carry default is 1 — restore it (eta/r0
+                        # math divides by refl before the live mask applies)
+                        jnp.where(hitb, sel(7), one),
+                        sel(8), sel(9), isplf,
+                    )
 
                 def do_scan(_):
-                    rec = jax.lax.fori_loop(0, n_pblk, plane_fn, init)
-                    return jax.lax.fori_loop(0, n_sblk, sphere_fn, rec)
+                    rec = jax.lax.fori_loop(0, n_pblk, plane_fn,
+                                            lean_init if scan == "lean"
+                                            else init)
+                    rec = jax.lax.fori_loop(0, n_sblk, sphere_fn, rec)
+                    return extract(rec) if scan == "lean" else rec
 
                 if b == 0:
                     hitrec = do_scan(None)
@@ -552,11 +675,12 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
 @functools.lru_cache(maxsize=32)
 def _compiled_bw(*, width, height, s_pad, p_pad, spp_unroll, max_bounces,
                  rng_mode, rng_impl, center_sample, interpret, block=_BLOCK,
-                 n_tiles=None, mxu=False):
+                 n_tiles=None, mxu=False, scan="payload"):
     kernel = _make_blockwise_kernel(
         width=width, height=height, s_pad=s_pad, p_pad=p_pad,
         spp_unroll=spp_unroll, max_bounces=max_bounces, rng_mode=rng_mode,
         rng_impl=rng_impl, center_sample=center_sample, block=block, mxu=mxu,
+        scan=scan,
     )
     if n_tiles is None:
         n = width * height
@@ -587,7 +711,7 @@ def _compiled_bw(*, width, height, s_pad, p_pad, spp_unroll, max_bounces,
 @functools.lru_cache(maxsize=32)
 def _compiled_frame_bw(*, width, height, s_pad, p_pad, spp, spp_unroll,
                        max_bounces, rng_mode, rng_impl, gamma, center_first,
-                       interpret, block=_BLOCK, mxu=False):
+                       interpret, block=_BLOCK, mxu=False, scan="payload"):
     """Jitted frame: chained sample-chunk kernels + mean + gamma + crop in
     ONE dispatch; primitive tables and camera are traced inputs."""
     chunk_sizes = []
@@ -601,7 +725,7 @@ def _compiled_frame_bw(*, width, height, s_pad, p_pad, spp, spp_unroll,
                      spp_unroll=k, max_bounces=max_bounces, rng_mode=rng_mode,
                      rng_impl=rng_impl,
                      center_sample=(i == 0 and center_first),
-                     interpret=interpret, block=block, mxu=mxu)
+                     interpret=interpret, block=block, mxu=mxu, scan=scan)
         for i, k in enumerate(chunk_sizes)
     ]
     n = width * height
@@ -637,6 +761,7 @@ def render_forward_blockwise(
     interpret: bool = False,
     block: Optional[int] = None,
     mxu: Optional[bool] = None,
+    scan: Optional[str] = None,
     **_unused,
 ) -> jax.Array:
     """Render a full frame with the blockwise megakernel.  (H, W, 3) f32.
@@ -669,6 +794,8 @@ def render_forward_blockwise(
         block = _BLOCK if max(s_pad, p_pad) <= 128 else 128
     if mxu is None:
         mxu = False  # measured slower than the VPU scan on v5e (see module doc)
+    if scan is None:
+        scan = "payload"
     if mxu:
         s_tab = jnp.asarray(_padded_table_mxu(s_cols, s_pad, "sphere"))
         p_tab = jnp.asarray(_padded_table_mxu(p_cols, p_pad, "plane"))
@@ -681,7 +808,7 @@ def render_forward_blockwise(
         spp_unroll=spp_unroll, max_bounces=max_bounces, rng_mode=rng_mode,
         rng_impl=rng_impl, gamma=gamma,
         center_first=(True if center_sample is None else center_sample),
-        interpret=interpret, block=block, mxu=mxu,
+        interpret=interpret, block=block, mxu=mxu, scan=scan,
     )
 
     cam = jnp.concatenate([
@@ -723,6 +850,7 @@ def render_forward_blockwise_sharded(
     interpret: bool = False,
     block: Optional[int] = None,
     mxu: Optional[bool] = None,
+    scan: Optional[str] = None,
     **_unused,
 ) -> jax.Array:
     """Blockwise megakernel frame sharded over ``mesh[axis]`` (H, W, 3) f32.
@@ -756,6 +884,8 @@ def render_forward_blockwise_sharded(
         block = _BLOCK if max(s_pad, p_pad) <= 128 else 128
     if mxu is None:
         mxu = False
+    if scan is None:
+        scan = "payload"
     if mxu:
         s_tab = jnp.asarray(_padded_table_mxu(s_cols, s_pad, "sphere"))
         p_tab = jnp.asarray(_padded_table_mxu(p_cols, p_pad, "plane"))
@@ -781,7 +911,7 @@ def render_forward_blockwise_sharded(
                      rng_impl=rng_impl,
                      center_sample=(i == 0 and center_first),
                      interpret=interpret, block=block, n_tiles=local_tiles,
-                     mxu=mxu)
+                     mxu=mxu, scan=scan)
         for i, k in enumerate(chunk_sizes)
     ]
 

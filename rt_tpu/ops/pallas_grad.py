@@ -64,13 +64,16 @@ __all__ = ["pallas_mse_loss_and_grad", "pallas_grad_supported",
 
 _BIG = 3.0e38
 _MIN_HIT = 0.001
-MAX_GRAD_PRIMS = 96  # in-kernel masked reductions are O(S*B) — cap it
+MAX_GRAD_PRIMS = 96       # full-payload stash: masked reductions are O(S*B)
+MAX_GRAD_PRIMS_LEAN = 640  # lean stash: winner-id replay, O(1)-in-S VMEM —
+                           # the same cap as the unrolled forward kernel
 
 
-def pallas_grad_supported(scene) -> bool:
+def pallas_grad_supported(scene, lean: bool = True) -> bool:
+    cap = MAX_GRAD_PRIMS_LEAN if lean else MAX_GRAD_PRIMS
     return (
         pallas_supported(scene)
-        and scene.spheres.count + scene.planes.count <= MAX_GRAD_PRIMS
+        and scene.spheres.count + scene.planes.count <= cap
     )
 
 
@@ -317,8 +320,12 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
         cd = [zero, zero, zero]   # cotangent of d
         ct = [zero, zero, zero]   # cotangent of thr
 
-        sgrad = [[f32(0.0)] * S_pad for _ in range(9)]
-        pgrad = [[f32(0.0)] * P_pad for _ in range(9)]
+        # per-primitive gradient accumulators: (1, 128) lane partials —
+        # the per-bounce reduction then only crosses sublanes (cheap); the
+        # expensive cross-lane reduction happens ONCE per kernel at the end
+        lane0 = jnp.zeros((1, 128), f32)
+        sgrad = [[lane0] * S_pad for _ in range(9)]
+        pgrad = [[lane0] * P_pad for _ in range(9)]
 
         for b in (() if skip_reverse else reversed(range(max_bounces))):
             st = stash[b]
@@ -390,13 +397,15 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
                 for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
                     # map payload index -> grad row:
                     # rows: cx,cy,cz,r, alb_r,alb_g,alb_b, refl, rough
-                    sgrad[k][si] = sgrad[k][si] + jnp.sum(mf * pay_cot[cslot])
+                    sgrad[k][si] = sgrad[k][si] + jnp.sum(
+                        mf * pay_cot[cslot], axis=0, keepdims=True)
             for p in range(n_planes):
                 m = (st["bidx"] == f32(p)) & (st["bpl"] > 0.0) & st["bits"]["live_h"]
                 mf = m.astype(f32)
                 for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
                     # rows: nx,ny,nz,d, alb_r,alb_g,alb_b, refl, rough
-                    pgrad[k][p] = pgrad[k][p] + jnp.sum(mf * pay_cot[cslot])
+                    pgrad[k][p] = pgrad[k][p] + jnp.sum(
+                        mf * pay_cot[cslot], axis=0, keepdims=True)
 
         # camera cotangent via the raygen vjp (per-tile output; summed by the
         # caller — the serial grid would otherwise need in-place accumulation,
@@ -415,9 +424,11 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
 
         for k in range(9):
             for si in range(S_pad):
-                sg_ref[0, k, si] = sgrad[k][si] if n_spheres else f32(0.0)
+                sg_ref[0, k, si] = (jnp.sum(sgrad[k][si])
+                                    if n_spheres else f32(0.0))
             for p in range(P_pad):
-                pg_ref[0, k, p] = pgrad[k][p] if n_planes else f32(0.0)
+                pg_ref[0, k, p] = (jnp.sum(pgrad[k][p])
+                                   if n_planes else f32(0.0))
 
     return kernel
 
@@ -694,13 +705,23 @@ def _decisions(best_t, pay, bpl, broot, bcl, o3, d3, lv, u3, coin):
 
 
 def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
-                      rows, rng_mode, rng_impl, lean):
-    """One kernel = one full MSE training step over all spp samples."""
+                      rows, rng_mode, rng_impl, lean, residuals="recompute"):
+    """One kernel = one full MSE training step over all spp samples.
+
+    ``residuals="eager"`` (requires ``lean=False``): take the per-bounce
+    ``jax.vjp`` at *forward* time and stash the vjp closures — JAX keeps the
+    smooth map's intermediate values as residuals, so the reverse sweep runs
+    the transpose only, skipping the per-bounce primal recompute (~40% of
+    reverse-sweep ops) at the price of a larger VMEM footprint.  The default
+    stashes inputs only and lets the vjp recompute the primal (manual
+    rematerialisation), which is what fits bigger tiles."""
     n_spheres = s_cols.shape[1]
     n_planes = p_cols.shape[1]
     f32 = jnp.float32
     S_pad = max(n_spheres, 1)
     P_pad = max(n_planes, 1)
+    assert not (lean and residuals == "eager"), \
+        "eager residuals subsume the payload stash; lean must be False"
     scan = _make_scan(s_cols, p_cols, rows)
     # wide per-primitive accumulators: (rows,128) running sums per
     # (slot, primitive) — gate on VMEM footprint
@@ -793,6 +814,22 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                 bits = _decisions(best_t, pay, bpl, broot, bcl,
                                   (ox, oy, oz), (dx, dy, dz), lv,
                                   (ux, uy, uz), coin)
+                if residuals == "eager":
+                    def fb(o3, d3, thr3, pay_, u3=(ux, uy, uz), bits=bits):
+                        return _bounce_smooth(o3, d3, thr3, pay_, u3, bits)
+
+                    (o_n, d_n, thr_n, rad), fvjp = jax.vjp(
+                        fb, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), pay)
+                    stash.append(dict(fvjp=fvjp, bits=bits,
+                                      bidx=bidx, bpl=bpl))
+                    img[0] += rad[0]
+                    img[1] += rad[1]
+                    img[2] += rad[2]
+                    ox, oy, oz = o_n
+                    dx, dy, dz = d_n
+                    tr, tg, tb = thr_n
+                    live = bits["alive"].astype(f32)
+                    continue
                 if lean:
                     packed = jnp.zeros((rows, 128), jnp.int32)
                     for k, name in enumerate(_BITS):
@@ -835,8 +872,9 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
         if wide:
             sacc = [[zero] * max(n_spheres, 1) for _ in range(9)]
             pacc = [[zero] * max(n_planes, 1) for _ in range(9)]
-        sgrad = [[f32(0.0)] * S_pad for _ in range(9)]
-        pgrad = [[f32(0.0)] * P_pad for _ in range(9)]
+        lane0 = jnp.zeros((1, 128), f32)
+        sgrad = [[lane0] * S_pad for _ in range(9)]
+        pgrad = [[lane0] * P_pad for _ in range(9)]
         cam_tot = None
 
         for s in range(spp):
@@ -886,12 +924,15 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                                    rpdd, rar, rag, rab, rrf, rrg),
                               bpl=isplb.astype(f32))
 
-                def fb(o3, d3, thr3, pay, st=st):
-                    return _bounce_smooth(o3, d3, thr3, pay, st["u"],
-                                          st["bits"])
+                if residuals == "eager":
+                    fvjp = st["fvjp"]
+                else:
+                    def fb(o3, d3, thr3, pay, st=st):
+                        return _bounce_smooth(o3, d3, thr3, pay, st["u"],
+                                              st["bits"])
 
-                primals = (st["o"], st["d"], st["thr"], st["pay"])
-                _, fvjp = jax.vjp(fb, *primals)
+                    primals = (st["o"], st["d"], st["thr"], st["pay"])
+                    _, fvjp = jax.vjp(fb, *primals)
                 cots = fvjp(((co[0], co[1], co[2]), (cd[0], cd[1], cd[2]),
                              (ct[0], ct[1], ct[2]), (cot[0], cot[1], cot[2])))
                 (co_p, cd_p, ct_p, pay_cot) = cots
@@ -913,50 +954,58 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                             pacc[k][p] = pacc[k][p] + jnp.where(
                                 m, pay_cot[cslot], 0.0)
                 else:
+                    # lane-partial accumulators: sublane reduce per bounce,
+                    # cross-lane reduce once at the end (see _make_grad_kernel)
                     for si in range(n_spheres):
                         m = (st["bidx"] == f32(si)) & is_sph & live_h
                         mf = m.astype(f32)
                         for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
-                            sgrad[k][si] = sgrad[k][si] + jnp.sum(mf * pay_cot[cslot])
+                            sgrad[k][si] = sgrad[k][si] + jnp.sum(
+                                mf * pay_cot[cslot], axis=0, keepdims=True)
                     for p in range(n_planes):
                         m = (st["bidx"] == f32(p)) & (st["bpl"] > 0.0) & live_h
                         mf = m.astype(f32)
                         for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
-                            pgrad[k][p] = pgrad[k][p] + jnp.sum(mf * pay_cot[cslot])
+                            pgrad[k][p] = pgrad[k][p] + jnp.sum(
+                                mf * pay_cot[cslot], axis=0, keepdims=True)
 
             (cam_cot,) = raygen_vjps[s]((co[0], co[1], co[2],
                                          cd[0], cd[1], cd[2]))
             cam_tot = list(cam_cot) if cam_tot is None else [
                 a + b for a, b in zip(cam_tot, cam_cot)]
 
-        if wide:
-            for k in range(9):
-                for si in range(n_spheres):
-                    sgrad[k][si] = jnp.sum(sacc[k][si])
-                for p in range(n_planes):
-                    pgrad[k][p] = jnp.sum(pacc[k][p])
-
         for i in range(15):
             cg_ref[0, 0, i] = cam_tot[i]
         cg_ref[0, 0, 15] = f32(0.0)
         for k in range(9):
             for si in range(S_pad):
-                sg_ref[0, k, si] = sgrad[k][si] if n_spheres else f32(0.0)
+                if not n_spheres:
+                    sg_ref[0, k, si] = f32(0.0)
+                elif wide:
+                    sg_ref[0, k, si] = jnp.sum(sacc[k][si])
+                else:
+                    sg_ref[0, k, si] = jnp.sum(sgrad[k][si])
             for p in range(P_pad):
-                pg_ref[0, k, p] = pgrad[k][p] if n_planes else f32(0.0)
+                if not n_planes:
+                    pg_ref[0, k, p] = f32(0.0)
+                elif wide:
+                    pg_ref[0, k, p] = jnp.sum(pacc[k][p])
+                else:
+                    pg_ref[0, k, p] = jnp.sum(pgrad[k][p])
 
     return kernel
 
 
 @functools.lru_cache(maxsize=16)
 def _compiled_mono(scene_bytes, shapes, *, width, height, spp, max_bounces,
-                   rows, rng_mode, rng_impl, lean, interpret):
+                   rows, rng_mode, rng_impl, lean, interpret,
+                   residuals="recompute"):
     s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
     p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
     kernel = _make_mono_kernel(
         s_cols, p_cols, width=width, height=height, spp=spp,
         max_bounces=max_bounces, rows=rows, rng_mode=rng_mode,
-        rng_impl=rng_impl, lean=lean,
+        rng_impl=rng_impl, lean=lean, residuals=residuals,
     )
     n = width * height
     n_tiles = -(-n // (rows * 128))
@@ -1053,6 +1102,7 @@ def pallas_mse_loss_and_grad(
     rng_impl: str = "hw",
     interpret: bool = False,
     mode: str = "multi",
+    residuals: str = "recompute",
 ):
     """MSE loss + scene-parameter gradients, everything on-chip.
 
@@ -1072,7 +1122,15 @@ def pallas_mse_loss_and_grad(
     if max_bounces is None:
         max_bounces = scene.max_bounces
     concrete = apply_params(scene, jax.tree_util.tree_map(jnp.asarray, params))
-    if not pallas_grad_supported(concrete):
+    n_prims = concrete.spheres.count + concrete.planes.count
+    if n_prims > MAX_GRAD_PRIMS and not lean:
+        # beyond the full-payload stash cap only the winner-id stash fits
+        lean = True
+    if n_prims > MAX_GRAD_PRIMS and mode == "mono":
+        # the mono kernel unrolls spp x bounces x prims — too big past the
+        # payload cap; the per-sample pipeline handles 97..640
+        mode = "multi"
+    if not pallas_grad_supported(concrete, lean=lean):
         raise ValueError("scene exceeds the fused grad kernel limits")
 
     s_cols, p_cols = _flatten_primitives(concrete, personality)
@@ -1088,7 +1146,7 @@ def pallas_mse_loss_and_grad(
         bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
     )
     if mode == "mono":
-        run = _compiled_pipeline_mono(*key_args, **common)
+        run = _compiled_pipeline_mono(*key_args, residuals=residuals, **common)
         target_dev = _target_blocks(target, w, h, rows)
     else:
         run = _compiled_pipeline(*key_args, fwd_rows=fwd_rows, **common)
@@ -1120,6 +1178,7 @@ def make_mse_step(
     rng_impl: str = "hw",
     interpret: bool = False,
     mode: str = "multi",
+    residuals: str = "recompute",
     dbg: tuple = (),
 ):
     """Prebuilt fwd+bwd step: ``step(seed) -> (loss, grads)``.
@@ -1142,7 +1201,15 @@ def make_mse_step(
     if max_bounces is None:
         max_bounces = scene.max_bounces
     concrete = apply_params(scene, jax.tree_util.tree_map(jnp.asarray, params))
-    if not pallas_grad_supported(concrete):
+    n_prims = concrete.spheres.count + concrete.planes.count
+    if n_prims > MAX_GRAD_PRIMS and not lean:
+        # beyond the full-payload stash cap only the winner-id stash fits
+        lean = True
+    if n_prims > MAX_GRAD_PRIMS and mode == "mono":
+        # the mono kernel unrolls spp x bounces x prims — too big past the
+        # payload cap; the per-sample pipeline handles 97..640
+        mode = "multi"
+    if not pallas_grad_supported(concrete, lean=lean):
         raise ValueError("scene exceeds the fused grad kernel limits")
 
     s_cols, p_cols = _flatten_primitives(concrete, personality)
@@ -1158,7 +1225,7 @@ def make_mse_step(
         bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
     )
     if mode == "mono":
-        run = _compiled_pipeline_mono(*key_args, **common)
+        run = _compiled_pipeline_mono(*key_args, residuals=residuals, **common)
         target_dev = _target_blocks(target, w, h, rows)
     else:
         run = _compiled_pipeline(*key_args, fwd_rows=fwd_rows, dbg=dbg,
@@ -1294,7 +1361,7 @@ def _assemble_grads(sg_total, pg_total, cg_total, s_mat, p_mat,
 def _compiled_pipeline_mono(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
                             width, height, spp, max_bounces, rows, rng_mode,
                             S_table, M_table, lean=False, rng_impl="hw",
-                            interpret=False):
+                            interpret=False, residuals="recompute"):
     """One jitted dispatch around the mono kernel: seeds + tile sums +
     gradient assembly (the kernel itself does everything else)."""
     n = width * height
@@ -1304,7 +1371,7 @@ def _compiled_pipeline_mono(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
     call = _compiled_mono(scene_bytes, shapes, width=width, height=height,
                           spp=spp, max_bounces=max_bounces, rows=rows,
                           rng_mode=rng_mode, rng_impl=rng_impl, lean=lean,
-                          interpret=interpret)
+                          interpret=interpret, residuals=residuals)
 
     @jax.jit
     def run(cam, seed0, target_blocks):

@@ -223,3 +223,58 @@ def test_interpret_fused_grad_matches_replay_spp3():
         scale = max(np.abs(b).max(), 1e-6)
         np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-3,
                                    err_msg=k)
+
+
+def test_interpret_fused_grad_lean_past_payload_cap(monkeypatch):
+    # Past MAX_GRAD_PRIMS the entry point must auto-switch to the lean
+    # winner-id stash and force mode="multi" (the mono unroll is spp x
+    # bounces x prims).  A real 97+-prim kernel takes minutes to compile in
+    # interpret mode, so the cap is monkeypatched down: the routing logic
+    # and the lean kernel math are identical at 12 primitives (the >96-prim
+    # numbers themselves are validated on TPU, tools/bench_table.py).
+    import rt_tpu.ops.pallas_grad as pg
+    from rt_tpu import diff
+
+    monkeypatch.setattr(pg, "MAX_GRAD_PRIMS", 8)
+    s = rt_tpu.scene.make_procedural_scene(11, seed=5)
+    assert 8 < s.spheres.count + s.planes.count <= pg.MAX_GRAD_PRIMS_LEAN
+    size, spp, B = (16, 8), 2, 2
+    params = diff.extract_params(s)
+    target = jnp.zeros((size[1], size[0], 3), jnp.float32)
+
+    loss_f, g_f = pg.pallas_mse_loss_and_grad(
+        params, s, target, size, seed=2, spp=spp, max_bounces=B,
+        rows=8, rng_impl="hash", interpret=True, lean=False,
+        mode="mono")  # must auto-lean AND fall back to multi
+    loss_r, g_r = diff.pallas_loss_and_grad(
+        params, s, target, size, seed=2, spp=spp, max_bounces=B,
+        rng_impl="hash", interpret=True)
+
+    assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-5)
+    for k in g_r:
+        a, b = np.asarray(g_f[k]), np.asarray(g_r[k])
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-3,
+                                   err_msg=k)
+
+
+def test_interpret_mono_eager_residuals_match():
+    # residuals="eager" stashes vjp closures at forward time instead of
+    # rematerialising the primal in the reverse sweep — pure scheduling
+    # change, gradients must be identical to the recompute default
+    from rt_tpu import diff
+    from rt_tpu.ops.pallas_grad import pallas_mse_loss_and_grad
+
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    size, spp, B = (32, 24), 2, 3
+    params = diff.extract_params(s)
+    target = jnp.zeros((size[1], size[0], 3), jnp.float32)
+    kw = dict(seed=1, spp=spp, max_bounces=B, rows=8, rng_impl="hash",
+              interpret=True, mode="mono")
+    l0, g0 = pallas_mse_loss_and_grad(params, s, target, size, **kw)
+    l1, g1 = pallas_mse_loss_and_grad(params, s, target, size,
+                                      residuals="eager", **kw)
+    assert float(l0) == float(l1)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   atol=1e-6, err_msg=k)

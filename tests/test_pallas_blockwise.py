@@ -223,3 +223,32 @@ def test_spp_chunking_matches_single_chunk():
     b = _bw(s, (24, 16), spp=4, max_bounces=4, spp_unroll=4, seed=11)
     # different RNG chunking -> statistically equal, not bitwise
     assert abs(a.mean() - b.mean()) < 0.02
+
+
+def test_lean_scan_bitexact_vs_payload():
+    # lean-carry scan (best_t + winner index only, one-hot payload fetch
+    # after the loop) must be BIT-exact vs the payload-carry scan: same t
+    # math, and the one-hot contraction fetches the identical f32 values
+    s = rt_tpu.scene.make_procedural_scene(60, seed=3)
+    a = _bw(s, (64, 48), spp=2, max_bounces=4, scan="payload", seed=7)
+    b = _bw(s, (64, 48), spp=2, max_bounces=4, scan="lean", seed=7)
+    assert np.array_equal(a, b)
+
+
+def test_lean_scan_bitexact_planes_and_ties():
+    # plane-vs-sphere tie-breaking flows through the lean carries' is-plane
+    # flag; exercise a mixed plane+sphere scene
+    s = rt_tpu.load("scenes/cornell_spheres.toml")
+    a = _bw(s, (48, 32), spp=2, max_bounces=3, scan="payload", seed=5)
+    b = _bw(s, (48, 32), spp=2, max_bounces=3, scan="lean", seed=5)
+    assert np.array_equal(a, b)
+
+
+def test_lean_mxu_scan_parity():
+    # lean + MXU intersection: silhouette-pixel rounding class (expanded
+    # quadratic), same bar as test_mxu_matches_vpu_scan_procedural
+    s = rt_tpu.scene.make_procedural_scene(60, seed=3)
+    a = _bw(s, (64, 48), spp=1, max_bounces=2, scan="payload", seed=7)
+    b = _bw(s, (64, 48), spp=1, max_bounces=2, scan="lean", mxu=True, seed=7)
+    diff_pix = (np.abs(a - b).max(axis=-1) > 1e-4).sum()
+    assert diff_pix <= 8, diff_pix
