@@ -85,12 +85,20 @@ _BITS = ("hit", "live_h", "miss", "alive", "ispl", "root", "ldeg",
 def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
                       rng_mode, center_sample, lean=False, rng_impl="hw",
                       skip_reverse=False, skip_prim=False):
-    """``lean=True`` shrinks the per-bounce VMEM stash from 41 to 14 tile
-    arrays: the winner payload (13 arrays) is *recomputed* in the reverse
-    sweep from the stashed winner index + the baked primitive constants
-    (bit-exact — the forward values ARE those constants), and the 13
-    decision masks pack into one int32 bitfield.  The stash is what caps
-    the tile height (rows), so lean mode unlocks 64-128-row tiles.
+    """Per-sample fused fwd+bwd kernel: one sample's forward sweep (with
+    stash), then the reverse sweep fed an external pixel-cotangent block.
+
+    Shares the scan/decision/bounce-map helpers with the mono kernel, and
+    the same per-bounce dead-tile early-out (``lax.cond`` keyed on
+    any-lane-alive, with RNG draws hoisted above the cond so the stream is
+    identical to the dense kernel).
+
+    ``lean=True`` stashes the winner *identity* instead of its values — the
+    payload is recomputed bit-exactly in the reverse sweep from the stashed
+    winner index + the baked primitive constants, and the 13 decision masks
+    pack into one int32 bitfield: 14 stash arrays per bounce instead of 41,
+    which is what unlocks 64-128-row tiles and primitive counts past the
+    payload-stash cap (MAX_GRAD_PRIMS_LEAN).
 
     ``skip_reverse`` / ``skip_prim`` are measurement-only knobs (cost-split
     profiling): they produce WRONG (zero) gradients for the skipped part."""
@@ -99,6 +107,7 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
     f32 = jnp.float32
     S_pad = max(n_spheres, 1)
     P_pad = max(n_planes, 1)
+    scan = _make_scan(s_cols, p_cols, rows)
 
     def kernel(cam_ref, seed_ref, cot_ref, sg_ref, pg_ref, cg_ref):
         tile = pl.program_id(0)
@@ -164,73 +173,8 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
         stash = []  # per bounce: dict of everything the reverse sweep needs
 
         for b in range(max_bounces):
-            lv = live > 0.0
-
-            best_t = jnp.full((rows, 128), f32(_BIG))
-            bcx = bcy = bcz = zero
-            brad = one
-            bpnx = bpny = bpnz = zero
-            bpdd = zero
-            bar = bag = bab = zero
-            brf = one
-            brg = zero
-            bcl = zero
-            bpl = zero
-            bidx = zero
-            broot = one
-
-            for p in range(n_planes):
-                pnx, pny, pnz, pdd = (float(p_cols[i, p]) for i in range(4))
-                nd = pnx * dx + pny * dy + pnz * dz
-                no = pnx * ox + pny * oy + pnz * oz + pdd
-                safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
-                t = -no / safe
-                ok = (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT) & (t < best_t)
-                best_t = jnp.where(ok, t, best_t)
-                bpnx = jnp.where(ok, pnx, bpnx)
-                bpny = jnp.where(ok, pny, bpny)
-                bpnz = jnp.where(ok, pnz, bpnz)
-                bpdd = jnp.where(ok, pdd, bpdd)
-                bar = jnp.where(ok, float(p_cols[4, p]), bar)
-                bag = jnp.where(ok, float(p_cols[5, p]), bag)
-                bab = jnp.where(ok, float(p_cols[6, p]), bab)
-                brf = jnp.where(ok, float(p_cols[7, p]), brf)
-                brg = jnp.where(ok, float(p_cols[8, p]), brg)
-                bcl = jnp.where(ok, float(p_cols[9, p]), bcl)
-                bpl = jnp.where(ok, f32(1.0), bpl)
-                bidx = jnp.where(ok, f32(p), bidx)
-
-            for si in range(n_spheres):
-                cx, cy, cz, rad = (float(s_cols[i, si]) for i in range(4))
-                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                bq = ocx * dx + ocy * dy + ocz * dz
-                c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                disc = bq * bq - c0
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t0 = -bq - sq
-                t1 = -bq + sq
-                t = jnp.where(t0 >= _MIN_HIT, t0, t1)
-                ok = (disc >= 0.0) & (t >= _MIN_HIT) & (
-                    (t < best_t) | ((t == best_t) & (bpl > 0.0))
-                )
-                best_t = jnp.where(ok, t, best_t)
-                bcx = jnp.where(ok, cx, bcx)
-                bcy = jnp.where(ok, cy, bcy)
-                bcz = jnp.where(ok, cz, bcz)
-                brad = jnp.where(ok, rad, brad)
-                bar = jnp.where(ok, float(s_cols[4, si]), bar)
-                bag = jnp.where(ok, float(s_cols[5, si]), bag)
-                bab = jnp.where(ok, float(s_cols[6, si]), bab)
-                brf = jnp.where(ok, float(s_cols[7, si]), brf)
-                brg = jnp.where(ok, float(s_cols[8, si]), brg)
-                bcl = jnp.where(ok, float(s_cols[9, si]), bcl)
-                bpl = jnp.where(ok, f32(0.0), bpl)
-                bidx = jnp.where(ok, f32(si), bidx)
-                broot = jnp.where(ok, (t0 >= _MIN_HIT).astype(f32), broot)
-
-            hit = best_t < f32(1e37)
-            live_h = lv & hit
-
+            # draws hoisted above the early-out cond (stream-identical to
+            # the dense kernel; the scan consumes no draws)
             ux = u01()
             uy = u01()
             uz = u01()
@@ -241,171 +185,158 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
             uinv = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
             ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
             coin = u01()
+            anyl = jnp.sum(live) > 0.0
 
-            # decision bits (computed from the *forward* values; pinned for
-            # the smooth map below) — same math as the render kernel
-            t_safe = jnp.where(hit, best_t, 0.0)
-            hx = ox + t_safe * dx
-            hy = oy + t_safe * dy
-            hz = oz + t_safe * dz
-            snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
-            sinv = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
-            ispl = bpl > 0.0
-            nx = jnp.where(ispl, bpnx, snx * sinv)
-            ny = jnp.where(ispl, bpny, sny * sinv)
-            nz = jnp.where(ispl, bpnz, snz * sinv)
-            lxr, lyr, lzr = nx + ux, ny + uy, nz + uz
-            ldeg = (lxr * lxr + lyr * lyr + lzr * lzr) < 1e-16
-            ddot = dx * nx + dy * ny + dz * nz
-            mxr = (dx - 2.0 * ddot * nx) + brg * ux
-            myr = (dy - 2.0 * ddot * ny) + brg * uy
-            mzr = (dz - 2.0 * ddot * nz) + brg * uz
-            mabs = (mxr * nx + myr * ny + mzr * nz) <= 0.0
-            inside = ddot > 0.0
-            eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
-            cosine = jnp.where(inside, brf * ddot, -ddot)
-            cos_i = jnp.where(inside, ddot, -ddot)
-            sin2 = eta * eta * (1.0 - cos_i * cos_i)
-            tir = sin2 > 1.0
-            r0_ = (1.0 - brf) / (1.0 + brf)
-            r0_ = r0_ * r0_
-            omc = 1.0 - cosine
-            omc2 = omc * omc
-            prob = jnp.where(tir, 1.0, r0_ + (1.0 - r0_) * omc2 * omc2 * omc)
-            refl_bit = coin < prob
+            def fwd_body(carry, ux=ux, uy=uy, uz=uz, coin=coin):
+                (ox, oy, oz, dx, dy, dz, tr, tg, tb, live) = carry
+                lv = live > 0.0
+                best_t, pay, bidx, bpl, broot, bcl = scan(
+                    (ox, oy, oz), (dx, dy, dz))
+                bits = _decisions(best_t, pay, bpl, broot, bcl,
+                                  (ox, oy, oz), (dx, dy, dz), lv,
+                                  (ux, uy, uz), coin)
+                o_n, d_n, thr_n, _ = _bounce_smooth(
+                    (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
+                    pay, (ux, uy, uz), bits)
+                state = (o_n[0], o_n[1], o_n[2], d_n[0], d_n[1], d_n[2],
+                         thr_n[0], thr_n[1], thr_n[2],
+                         bits["alive"].astype(f32))
+                if lean:
+                    packed = jnp.zeros((rows, 128), jnp.int32)
+                    for k, name in enumerate(_BITS):
+                        packed = packed | jnp.where(bits[name],
+                                                    jnp.int32(1 << k),
+                                                    jnp.int32(0))
+                    return state + (packed, bidx)
+                return (state + pay + (bidx, bpl)
+                        + tuple(bits[nm] for nm in _BITS))
 
-            is_met = bcl == 1.0
-            is_die = bcl == 2.0
-            alive = live_h & ~(is_met & mabs)
-            miss = lv & ~hit
+            def fwd_skip(carry):
+                if lean:
+                    return tuple(carry) + (
+                        jnp.zeros((rows, 128), jnp.int32), zero)
+                fbool = jnp.zeros((rows, 128), jnp.bool_)
+                return (tuple(carry) + tuple([zero] * 13) + (zero, zero)
+                        + tuple([fbool] * 13))
 
-            bits = dict(hit=hit, live_h=live_h, miss=miss, alive=alive,
-                        ispl=ispl, root=broot > 0.0, ldeg=ldeg,
-                        mabs=mabs, refl_bit=refl_bit, tir=tir,
-                        inside=inside, is_met=is_met, is_die=is_die)
+            carry = (ox, oy, oz, dx, dy, dz, tr, tg, tb, live)
+            out = (fwd_body(carry) if b == 0 else
+                   jax.lax.cond(anyl, fwd_body, fwd_skip, carry))
+            o_prev = (ox, oy, oz)
+            d_prev = (dx, dy, dz)
+            thr_prev = (tr, tg, tb)
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, live) = out[:10]
             if lean:
-                packed = jnp.zeros((rows, 128), jnp.int32)
-                for k, name in enumerate(_BITS):
-                    packed = packed | jnp.where(bits[name],
-                                                jnp.int32(1 << k),
-                                                jnp.int32(0))
                 stash.append(dict(
-                    o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
-                    pay=(bcx, bcy, bcz, brad, bpnx, bpny, bpnz, bpdd,
-                         bar, bag, bab, brf, brg),
-                    u=(ux, uy, uz), bits=bits, packed=packed, bidx=bidx,
-                ))
+                    o=o_prev, d=d_prev, thr=thr_prev, u=(ux, uy, uz),
+                    packed=out[10], bidx=out[11], anyl=anyl))
             else:
                 stash.append(dict(
-                    o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
-                    pay=(bcx, bcy, bcz, brad, bpnx, bpny, bpnz, bpdd,
-                         bar, bag, bab, brf, brg),
-                    u=(ux, uy, uz),
-                    bits=bits,
-                    bidx=bidx, bpl=bpl, t_best=best_t,
-                ))
-
-            # forward state update (same math as the smooth map below)
-            o_n, d_n, thr_n, _ = _bounce_smooth(
-                (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
-                stash[-1]["pay"], stash[-1]["u"], stash[-1]["bits"],
-            )
-            ox, oy, oz = o_n
-            dx, dy, dz = d_n
-            tr, tg, tb = thr_n
-            live = alive.astype(f32)
+                    o=o_prev, d=d_prev, thr=thr_prev,
+                    pay=tuple(out[10:23]), u=(ux, uy, uz),
+                    bits={nm: out[25 + i] for i, nm in enumerate(_BITS)},
+                    bidx=out[23], bpl=out[24], anyl=anyl))
 
         # ---------------- reverse sweep -----------------------------------
         co = [zero, zero, zero]   # cotangent of o
         cd = [zero, zero, zero]   # cotangent of d
         ct = [zero, zero, zero]   # cotangent of thr
-
-        # per-primitive gradient accumulators: (1, 128) lane partials —
-        # the per-bounce reduction then only crosses sublanes (cheap); the
-        # expensive cross-lane reduction happens ONCE per kernel at the end
         lane0 = jnp.zeros((1, 128), f32)
-        sgrad = [[lane0] * S_pad for _ in range(9)]
-        pgrad = [[lane0] * P_pad for _ in range(9)]
+        accs = [lane0] * (9 * (n_spheres + n_planes))
+
+        def s_pos(k, si):
+            return k * n_spheres + si
+
+        def p_pos(k, pi):
+            return 9 * n_spheres + k * n_planes + pi
 
         for b in (() if skip_reverse else reversed(range(max_bounces))):
             st = stash[b]
-            if lean:
-                # unpack decisions + rebuild the winner payload from the
-                # baked constants — bit-exact (the forward payload IS the
-                # winner's constants, or the defaults below on a miss).
-                # Referencing only packed/bidx here is the point: the full
-                # forward payload/bit arrays die at their bounce and never
-                # occupy stash VMEM.
-                packed = st["packed"]
-                rbits = {name: ((packed >> k) & 1) > 0
-                         for k, name in enumerate(_BITS)}
-                hitb = rbits["hit"]
-                isplb = rbits["ispl"]
-                rcx = rcy = rcz = zero
-                rrad = one
-                rpnx = rpny = rpnz = rpdd = zero
-                rar = rag = rab = zero
-                rrf = one
-                rrg = zero
-                sph_m = hitb & ~isplb
-                for si in range(n_spheres):
-                    m = sph_m & (st["bidx"] == f32(si))
-                    rcx = jnp.where(m, float(s_cols[0, si]), rcx)
-                    rcy = jnp.where(m, float(s_cols[1, si]), rcy)
-                    rcz = jnp.where(m, float(s_cols[2, si]), rcz)
-                    rrad = jnp.where(m, float(s_cols[3, si]), rrad)
-                    rar = jnp.where(m, float(s_cols[4, si]), rar)
-                    rag = jnp.where(m, float(s_cols[5, si]), rag)
-                    rab = jnp.where(m, float(s_cols[6, si]), rab)
-                    rrf = jnp.where(m, float(s_cols[7, si]), rrf)
-                    rrg = jnp.where(m, float(s_cols[8, si]), rrg)
-                for p in range(n_planes):
-                    m = isplb & (st["bidx"] == f32(p))
-                    rpnx = jnp.where(m, float(p_cols[0, p]), rpnx)
-                    rpny = jnp.where(m, float(p_cols[1, p]), rpny)
-                    rpnz = jnp.where(m, float(p_cols[2, p]), rpnz)
-                    rpdd = jnp.where(m, float(p_cols[3, p]), rpdd)
-                    rar = jnp.where(m, float(p_cols[4, p]), rar)
-                    rag = jnp.where(m, float(p_cols[5, p]), rag)
-                    rab = jnp.where(m, float(p_cols[6, p]), rab)
-                    rrf = jnp.where(m, float(p_cols[7, p]), rrf)
-                    rrg = jnp.where(m, float(p_cols[8, p]), rrg)
-                st = dict(st, bits=rbits,
-                          pay=(rcx, rcy, rcz, rrad, rpnx, rpny, rpnz, rpdd,
-                               rar, rag, rab, rrf, rrg),
-                          bpl=isplb.astype(f32))
 
-            def fb(o3, d3, thr3, pay, st=st):
-                return _bounce_smooth(o3, d3, thr3, pay, st["u"], st["bits"])
+            def rev_body(carry, st=st):
+                co = list(carry[0:3])
+                cd = list(carry[3:6])
+                ct = list(carry[6:9])
+                accs = list(carry[9:])
+                if lean:
+                    packed = st["packed"]
+                    rbits = {name: ((packed >> k) & 1) > 0
+                             for k, name in enumerate(_BITS)}
+                    hitb = rbits["hit"]
+                    isplb = rbits["ispl"]
+                    rcx = rcy = rcz = zero
+                    rrad = one
+                    rpnx = rpny = rpnz = rpdd = zero
+                    rar = rag = rab = zero
+                    rrf = one
+                    rrg = zero
+                    sph_m = hitb & ~isplb
+                    for si in range(n_spheres):
+                        m = sph_m & (st["bidx"] == f32(si))
+                        rcx = jnp.where(m, float(s_cols[0, si]), rcx)
+                        rcy = jnp.where(m, float(s_cols[1, si]), rcy)
+                        rcz = jnp.where(m, float(s_cols[2, si]), rcz)
+                        rrad = jnp.where(m, float(s_cols[3, si]), rrad)
+                        rar = jnp.where(m, float(s_cols[4, si]), rar)
+                        rag = jnp.where(m, float(s_cols[5, si]), rag)
+                        rab = jnp.where(m, float(s_cols[6, si]), rab)
+                        rrf = jnp.where(m, float(s_cols[7, si]), rrf)
+                        rrg = jnp.where(m, float(s_cols[8, si]), rrg)
+                    for pi in range(n_planes):
+                        m = isplb & (st["bidx"] == f32(pi))
+                        rpnx = jnp.where(m, float(p_cols[0, pi]), rpnx)
+                        rpny = jnp.where(m, float(p_cols[1, pi]), rpny)
+                        rpnz = jnp.where(m, float(p_cols[2, pi]), rpnz)
+                        rpdd = jnp.where(m, float(p_cols[3, pi]), rpdd)
+                        rar = jnp.where(m, float(p_cols[4, pi]), rar)
+                        rag = jnp.where(m, float(p_cols[5, pi]), rag)
+                        rab = jnp.where(m, float(p_cols[6, pi]), rab)
+                        rrf = jnp.where(m, float(p_cols[7, pi]), rrf)
+                        rrg = jnp.where(m, float(p_cols[8, pi]), rrg)
+                    stl = dict(st, bits=rbits,
+                               pay=(rcx, rcy, rcz, rrad, rpnx, rpny, rpnz,
+                                    rpdd, rar, rag, rab, rrf, rrg),
+                               bpl=isplb.astype(f32))
+                else:
+                    stl = st
 
-            primals = (st["o"], st["d"], st["thr"], st["pay"])
-            _, fvjp = jax.vjp(fb, *primals)
-            cots = fvjp(((co[0], co[1], co[2]), (cd[0], cd[1], cd[2]),
-                         (ct[0], ct[1], ct[2]), (cot[0], cot[1], cot[2])))
-            (co_p, cd_p, ct_p, pay_cot) = cots
-            co = list(co_p)
-            cd = list(cd_p)
-            ct = list(ct_p)
+                def fb(o3, d3, thr3, pay, stl=stl):
+                    return _bounce_smooth(o3, d3, thr3, pay, stl["u"],
+                                          stl["bits"])
 
-            # payload cotangents -> per-primitive slots
-            if skip_prim:
-                continue
-            is_sph = ~(st["bpl"] > 0.0)
-            for si in range(n_spheres):
-                m = (st["bidx"] == f32(si)) & is_sph & st["bits"]["live_h"]
-                mf = m.astype(f32)
-                for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
-                    # map payload index -> grad row:
-                    # rows: cx,cy,cz,r, alb_r,alb_g,alb_b, refl, rough
-                    sgrad[k][si] = sgrad[k][si] + jnp.sum(
-                        mf * pay_cot[cslot], axis=0, keepdims=True)
-            for p in range(n_planes):
-                m = (st["bidx"] == f32(p)) & (st["bpl"] > 0.0) & st["bits"]["live_h"]
-                mf = m.astype(f32)
-                for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
-                    # rows: nx,ny,nz,d, alb_r,alb_g,alb_b, refl, rough
-                    pgrad[k][p] = pgrad[k][p] + jnp.sum(
-                        mf * pay_cot[cslot], axis=0, keepdims=True)
+                primals = (stl["o"], stl["d"], stl["thr"], stl["pay"])
+                _, fvjp = jax.vjp(fb, *primals)
+                cots = fvjp(((co[0], co[1], co[2]), (cd[0], cd[1], cd[2]),
+                             (ct[0], ct[1], ct[2]),
+                             (cot[0], cot[1], cot[2])))
+                (co_p, cd_p, ct_p, pay_cot) = cots
+
+                if not skip_prim:
+                    is_sph = ~(stl["bpl"] > 0.0)
+                    live_h = stl["bits"]["live_h"]
+                    for si in range(n_spheres):
+                        m = (stl["bidx"] == f32(si)) & is_sph & live_h
+                        mf = m.astype(f32)
+                        for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
+                            # rows: cx,cy,cz,r, alb_r,alb_g,alb_b, refl, rough
+                            accs[s_pos(k, si)] = accs[s_pos(k, si)] + jnp.sum(
+                                mf * pay_cot[cslot], axis=0, keepdims=True)
+                    for pi in range(n_planes):
+                        m = (stl["bidx"] == f32(pi)) & (stl["bpl"] > 0.0) & live_h
+                        mf = m.astype(f32)
+                        for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
+                            # rows: nx,ny,nz,d, alb_r,alb_g,alb_b, refl, rough
+                            accs[p_pos(k, pi)] = accs[p_pos(k, pi)] + jnp.sum(
+                                mf * pay_cot[cslot], axis=0, keepdims=True)
+                return tuple(co_p) + tuple(cd_p) + tuple(ct_p) + tuple(accs)
+
+            carry = tuple(co) + tuple(cd) + tuple(ct) + tuple(accs)
+            out = jax.lax.cond(st["anyl"], rev_body,
+                               lambda c: tuple(c), carry)
+            co = list(out[0:3])
+            cd = list(out[3:6])
+            ct = list(out[6:9])
+            accs = list(out[9:])
 
         # camera cotangent via the raygen vjp (per-tile output; summed by the
         # caller — the serial grid would otherwise need in-place accumulation,
@@ -424,11 +355,11 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
 
         for k in range(9):
             for si in range(S_pad):
-                sg_ref[0, k, si] = (jnp.sum(sgrad[k][si])
-                                    if n_spheres else f32(0.0))
-            for p in range(P_pad):
-                pg_ref[0, k, p] = (jnp.sum(pgrad[k][p])
-                                   if n_planes else f32(0.0))
+                sg_ref[0, k, si] = (jnp.sum(accs[s_pos(k, si)])
+                                    if si < n_spheres else f32(0.0))
+            for pi in range(P_pad):
+                pg_ref[0, k, pi] = (jnp.sum(accs[p_pos(k, pi)])
+                                    if pi < n_planes else f32(0.0))
 
     return kernel
 
@@ -796,9 +727,10 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
             live = one
             stash = []
             for b in range(max_bounces):
-                lv = live > 0.0
-                best_t, pay, bidx, bpl, broot, bcl = scan(
-                    (ox, oy, oz), (dx, dy, dz))
+                # draws hoisted above the early-out cond: the RNG stream is
+                # identical whether or not a bounce is skipped (the scan
+                # consumes no draws, so the global order matches the dense
+                # kernel and the hash-RNG counters stay aligned)
                 ux = u01()
                 uy = u01()
                 uz = u01()
@@ -810,18 +742,27 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                     jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
                 ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
                 coin = u01()
+                # dead-tile early-out predicate (stashed for the reverse
+                # sweep: a bounce skipped forward is skipped backward too)
+                anyl = jnp.sum(live) > 0.0
 
-                bits = _decisions(best_t, pay, bpl, broot, bcl,
-                                  (ox, oy, oz), (dx, dy, dz), lv,
-                                  (ux, uy, uz), coin)
                 if residuals == "eager":
+                    # vjp closures cannot cross a lax.cond boundary: the
+                    # eager forward stays dense; phase 3 still early-outs
+                    lv = live > 0.0
+                    best_t, pay, bidx, bpl, broot, bcl = scan(
+                        (ox, oy, oz), (dx, dy, dz))
+                    bits = _decisions(best_t, pay, bpl, broot, bcl,
+                                      (ox, oy, oz), (dx, dy, dz), lv,
+                                      (ux, uy, uz), coin)
+
                     def fb(o3, d3, thr3, pay_, u3=(ux, uy, uz), bits=bits):
                         return _bounce_smooth(o3, d3, thr3, pay_, u3, bits)
 
                     (o_n, d_n, thr_n, rad), fvjp = jax.vjp(
                         fb, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), pay)
                     stash.append(dict(fvjp=fvjp, bits=bits,
-                                      bidx=bidx, bpl=bpl))
+                                      bidx=bidx, bpl=bpl, anyl=anyl))
                     img[0] += rad[0]
                     img[1] += rad[1]
                     img[2] += rad[2]
@@ -830,34 +771,60 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                     tr, tg, tb = thr_n
                     live = bits["alive"].astype(f32)
                     continue
+
+                def fwd_body(carry, ux=ux, uy=uy, uz=uz, coin=coin):
+                    (ox, oy, oz, dx, dy, dz, tr, tg, tb, live,
+                     i0, i1, i2) = carry
+                    lv = live > 0.0
+                    best_t, pay, bidx, bpl, broot, bcl = scan(
+                        (ox, oy, oz), (dx, dy, dz))
+                    bits = _decisions(best_t, pay, bpl, broot, bcl,
+                                      (ox, oy, oz), (dx, dy, dz), lv,
+                                      (ux, uy, uz), coin)
+                    o_n, d_n, thr_n, rad = _bounce_smooth(
+                        (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
+                        pay, (ux, uy, uz), bits)
+                    state = (o_n[0], o_n[1], o_n[2], d_n[0], d_n[1], d_n[2],
+                             thr_n[0], thr_n[1], thr_n[2],
+                             bits["alive"].astype(f32),
+                             i0 + rad[0], i1 + rad[1], i2 + rad[2])
+                    if lean:
+                        packed = jnp.zeros((rows, 128), jnp.int32)
+                        for k, name in enumerate(_BITS):
+                            packed = packed | jnp.where(bits[name],
+                                                        jnp.int32(1 << k),
+                                                        jnp.int32(0))
+                        return state + (packed, bidx)
+                    return (state + pay + (bidx, bpl)
+                            + tuple(bits[nm] for nm in _BITS))
+
+                def fwd_skip(carry):
+                    if lean:
+                        return tuple(carry) + (
+                            jnp.zeros((rows, 128), jnp.int32), zero)
+                    fbool = jnp.zeros((rows, 128), jnp.bool_)
+                    return (tuple(carry) + tuple([zero] * 13) + (zero, zero)
+                            + tuple([fbool] * 13))
+
+                carry = (ox, oy, oz, dx, dy, dz, tr, tg, tb, live,
+                         img[0], img[1], img[2])
+                out = (fwd_body(carry) if b == 0 else
+                       jax.lax.cond(anyl, fwd_body, fwd_skip, carry))
+                o_prev = (ox, oy, oz)
+                d_prev = (dx, dy, dz)
+                thr_prev = (tr, tg, tb)
+                (ox, oy, oz, dx, dy, dz, tr, tg, tb, live,
+                 img[0], img[1], img[2]) = out[:13]
                 if lean:
-                    packed = jnp.zeros((rows, 128), jnp.int32)
-                    for k, name in enumerate(_BITS):
-                        packed = packed | jnp.where(bits[name],
-                                                    jnp.int32(1 << k),
-                                                    jnp.int32(0))
                     stash.append(dict(
-                        o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
-                        u=(ux, uy, uz), packed=packed, bidx=bidx,
-                    ))
+                        o=o_prev, d=d_prev, thr=thr_prev, u=(ux, uy, uz),
+                        packed=out[13], bidx=out[14], anyl=anyl))
                 else:
                     stash.append(dict(
-                        o=(ox, oy, oz), d=(dx, dy, dz), thr=(tr, tg, tb),
-                        pay=pay, u=(ux, uy, uz), bits=bits,
-                        bidx=bidx, bpl=bpl,
-                    ))
-
-                o_n, d_n, thr_n, rad = _bounce_smooth(
-                    (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
-                    pay, (ux, uy, uz), bits,
-                )
-                img[0] += rad[0]
-                img[1] += rad[1]
-                img[2] += rad[2]
-                ox, oy, oz = o_n
-                dx, dy, dz = d_n
-                tr, tg, tb = thr_n
-                live = bits["alive"].astype(f32)
+                        o=o_prev, d=d_prev, thr=thr_prev,
+                        pay=tuple(out[13:26]), u=(ux, uy, uz),
+                        bits={nm: out[28 + i] for i, nm in enumerate(_BITS)},
+                        bidx=out[26], bpl=out[27], anyl=anyl))
             sample_stash.append(stash)
 
         # ------------- phase 2: local loss + cotangent --------------------
@@ -869,12 +836,20 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
         cot = [d_ * cot_scale for d_ in diff]
 
         # ------------- phase 3: reverse sweeps ----------------------------
-        if wide:
-            sacc = [[zero] * max(n_spheres, 1) for _ in range(9)]
-            pacc = [[zero] * max(n_planes, 1) for _ in range(9)]
-        lane0 = jnp.zeros((1, 128), f32)
-        sgrad = [[lane0] * S_pad for _ in range(9)]
-        pgrad = [[lane0] * P_pad for _ in range(9)]
+        # Per-(slot, primitive) accumulators live in ONE flat list so the
+        # whole per-bounce reverse step (payload rebuild + vjp transpose +
+        # accumulation) can ride through the early-out lax.cond as a single
+        # carry.  wide -> (rows, 128) running sums; else (1, 128) lane
+        # partials.  Cross-lane reduction happens once, at the write-out.
+        acc0 = zero if wide else jnp.zeros((1, 128), f32)
+        accs = [acc0] * (9 * (n_spheres + n_planes))
+
+        def s_pos(k, si):
+            return k * n_spheres + si
+
+        def p_pos(k, pi):
+            return 9 * n_spheres + k * n_planes + pi
+
         cam_tot = None
 
         for s in range(spp):
@@ -884,90 +859,101 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
             ct = [zero, zero, zero]
             for b in reversed(range(max_bounces)):
                 st = stash[b]
-                if lean:
-                    packed = st["packed"]
-                    rbits = {name: ((packed >> k) & 1) > 0
-                             for k, name in enumerate(_BITS)}
-                    hitb = rbits["hit"]
-                    isplb = rbits["ispl"]
-                    rcx = rcy = rcz = zero
-                    rrad = one
-                    rpnx = rpny = rpnz = rpdd = zero
-                    rar = rag = rab = zero
-                    rrf = one
-                    rrg = zero
-                    sph_m = hitb & ~isplb
+
+                def rev_body(carry, st=st):
+                    co = list(carry[0:3])
+                    cd = list(carry[3:6])
+                    ct = list(carry[6:9])
+                    accs = list(carry[9:])
+                    if lean:
+                        packed = st["packed"]
+                        rbits = {name: ((packed >> k) & 1) > 0
+                                 for k, name in enumerate(_BITS)}
+                        hitb = rbits["hit"]
+                        isplb = rbits["ispl"]
+                        rcx = rcy = rcz = zero
+                        rrad = one
+                        rpnx = rpny = rpnz = rpdd = zero
+                        rar = rag = rab = zero
+                        rrf = one
+                        rrg = zero
+                        sph_m = hitb & ~isplb
+                        for si in range(n_spheres):
+                            m = sph_m & (st["bidx"] == f32(si))
+                            rcx = jnp.where(m, float(s_cols[0, si]), rcx)
+                            rcy = jnp.where(m, float(s_cols[1, si]), rcy)
+                            rcz = jnp.where(m, float(s_cols[2, si]), rcz)
+                            rrad = jnp.where(m, float(s_cols[3, si]), rrad)
+                            rar = jnp.where(m, float(s_cols[4, si]), rar)
+                            rag = jnp.where(m, float(s_cols[5, si]), rag)
+                            rab = jnp.where(m, float(s_cols[6, si]), rab)
+                            rrf = jnp.where(m, float(s_cols[7, si]), rrf)
+                            rrg = jnp.where(m, float(s_cols[8, si]), rrg)
+                        for pi in range(n_planes):
+                            m = isplb & (st["bidx"] == f32(pi))
+                            rpnx = jnp.where(m, float(p_cols[0, pi]), rpnx)
+                            rpny = jnp.where(m, float(p_cols[1, pi]), rpny)
+                            rpnz = jnp.where(m, float(p_cols[2, pi]), rpnz)
+                            rpdd = jnp.where(m, float(p_cols[3, pi]), rpdd)
+                            rar = jnp.where(m, float(p_cols[4, pi]), rar)
+                            rag = jnp.where(m, float(p_cols[5, pi]), rag)
+                            rab = jnp.where(m, float(p_cols[6, pi]), rab)
+                            rrf = jnp.where(m, float(p_cols[7, pi]), rrf)
+                            rrg = jnp.where(m, float(p_cols[8, pi]), rrg)
+                        stl = dict(st, bits=rbits,
+                                   pay=(rcx, rcy, rcz, rrad, rpnx, rpny,
+                                        rpnz, rpdd, rar, rag, rab, rrf, rrg),
+                                   bpl=isplb.astype(f32))
+                    else:
+                        stl = st
+
+                    if residuals == "eager":
+                        fvjp = stl["fvjp"]
+                    else:
+                        def fb(o3, d3, thr3, pay, stl=stl):
+                            return _bounce_smooth(o3, d3, thr3, pay,
+                                                  stl["u"], stl["bits"])
+
+                        primals = (stl["o"], stl["d"], stl["thr"], stl["pay"])
+                        _, fvjp = jax.vjp(fb, *primals)
+                    cots = fvjp(((co[0], co[1], co[2]),
+                                 (cd[0], cd[1], cd[2]),
+                                 (ct[0], ct[1], ct[2]),
+                                 (cot[0], cot[1], cot[2])))
+                    (co_p, cd_p, ct_p, pay_cot) = cots
+
+                    is_sph = ~(stl["bpl"] > 0.0)
+                    live_h = stl["bits"]["live_h"]
                     for si in range(n_spheres):
-                        m = sph_m & (st["bidx"] == f32(si))
-                        rcx = jnp.where(m, float(s_cols[0, si]), rcx)
-                        rcy = jnp.where(m, float(s_cols[1, si]), rcy)
-                        rcz = jnp.where(m, float(s_cols[2, si]), rcz)
-                        rrad = jnp.where(m, float(s_cols[3, si]), rrad)
-                        rar = jnp.where(m, float(s_cols[4, si]), rar)
-                        rag = jnp.where(m, float(s_cols[5, si]), rag)
-                        rab = jnp.where(m, float(s_cols[6, si]), rab)
-                        rrf = jnp.where(m, float(s_cols[7, si]), rrf)
-                        rrg = jnp.where(m, float(s_cols[8, si]), rrg)
-                    for p in range(n_planes):
-                        m = isplb & (st["bidx"] == f32(p))
-                        rpnx = jnp.where(m, float(p_cols[0, p]), rpnx)
-                        rpny = jnp.where(m, float(p_cols[1, p]), rpny)
-                        rpnz = jnp.where(m, float(p_cols[2, p]), rpnz)
-                        rpdd = jnp.where(m, float(p_cols[3, p]), rpdd)
-                        rar = jnp.where(m, float(p_cols[4, p]), rar)
-                        rag = jnp.where(m, float(p_cols[5, p]), rag)
-                        rab = jnp.where(m, float(p_cols[6, p]), rab)
-                        rrf = jnp.where(m, float(p_cols[7, p]), rrf)
-                        rrg = jnp.where(m, float(p_cols[8, p]), rrg)
-                    st = dict(st, bits=rbits,
-                              pay=(rcx, rcy, rcz, rrad, rpnx, rpny, rpnz,
-                                   rpdd, rar, rag, rab, rrf, rrg),
-                              bpl=isplb.astype(f32))
-
-                if residuals == "eager":
-                    fvjp = st["fvjp"]
-                else:
-                    def fb(o3, d3, thr3, pay, st=st):
-                        return _bounce_smooth(o3, d3, thr3, pay, st["u"],
-                                              st["bits"])
-
-                    primals = (st["o"], st["d"], st["thr"], st["pay"])
-                    _, fvjp = jax.vjp(fb, *primals)
-                cots = fvjp(((co[0], co[1], co[2]), (cd[0], cd[1], cd[2]),
-                             (ct[0], ct[1], ct[2]), (cot[0], cot[1], cot[2])))
-                (co_p, cd_p, ct_p, pay_cot) = cots
-                co = list(co_p)
-                cd = list(cd_p)
-                ct = list(ct_p)
-
-                is_sph = ~(st["bpl"] > 0.0)
-                live_h = st["bits"]["live_h"]
-                if wide:
-                    for si in range(n_spheres):
-                        m = (st["bidx"] == f32(si)) & is_sph & live_h
+                        m = (stl["bidx"] == f32(si)) & is_sph & live_h
                         for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
-                            sacc[k][si] = sacc[k][si] + jnp.where(
-                                m, pay_cot[cslot], 0.0)
-                    for p in range(n_planes):
-                        m = (st["bidx"] == f32(p)) & (st["bpl"] > 0.0) & live_h
+                            if wide:
+                                accs[s_pos(k, si)] = accs[s_pos(k, si)] + \
+                                    jnp.where(m, pay_cot[cslot], 0.0)
+                            else:
+                                accs[s_pos(k, si)] = accs[s_pos(k, si)] + \
+                                    jnp.sum(m.astype(f32) * pay_cot[cslot],
+                                            axis=0, keepdims=True)
+                    for pi in range(n_planes):
+                        m = (stl["bidx"] == f32(pi)) & (stl["bpl"] > 0.0) & live_h
                         for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
-                            pacc[k][p] = pacc[k][p] + jnp.where(
-                                m, pay_cot[cslot], 0.0)
-                else:
-                    # lane-partial accumulators: sublane reduce per bounce,
-                    # cross-lane reduce once at the end (see _make_grad_kernel)
-                    for si in range(n_spheres):
-                        m = (st["bidx"] == f32(si)) & is_sph & live_h
-                        mf = m.astype(f32)
-                        for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
-                            sgrad[k][si] = sgrad[k][si] + jnp.sum(
-                                mf * pay_cot[cslot], axis=0, keepdims=True)
-                    for p in range(n_planes):
-                        m = (st["bidx"] == f32(p)) & (st["bpl"] > 0.0) & live_h
-                        mf = m.astype(f32)
-                        for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
-                            pgrad[k][p] = pgrad[k][p] + jnp.sum(
-                                mf * pay_cot[cslot], axis=0, keepdims=True)
+                            if wide:
+                                accs[p_pos(k, pi)] = accs[p_pos(k, pi)] + \
+                                    jnp.where(m, pay_cot[cslot], 0.0)
+                            else:
+                                accs[p_pos(k, pi)] = accs[p_pos(k, pi)] + \
+                                    jnp.sum(m.astype(f32) * pay_cot[cslot],
+                                            axis=0, keepdims=True)
+                    return (tuple(co_p) + tuple(cd_p) + tuple(ct_p)
+                            + tuple(accs))
+
+                carry = (tuple(co) + tuple(cd) + tuple(ct) + tuple(accs))
+                out = jax.lax.cond(st["anyl"], rev_body,
+                                   lambda c: tuple(c), carry)
+                co = list(out[0:3])
+                cd = list(out[3:6])
+                ct = list(out[6:9])
+                accs = list(out[9:])
 
             (cam_cot,) = raygen_vjps[s]((co[0], co[1], co[2],
                                          cd[0], cd[1], cd[2]))
@@ -979,19 +965,11 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
         cg_ref[0, 0, 15] = f32(0.0)
         for k in range(9):
             for si in range(S_pad):
-                if not n_spheres:
-                    sg_ref[0, k, si] = f32(0.0)
-                elif wide:
-                    sg_ref[0, k, si] = jnp.sum(sacc[k][si])
-                else:
-                    sg_ref[0, k, si] = jnp.sum(sgrad[k][si])
-            for p in range(P_pad):
-                if not n_planes:
-                    pg_ref[0, k, p] = f32(0.0)
-                elif wide:
-                    pg_ref[0, k, p] = jnp.sum(pacc[k][p])
-                else:
-                    pg_ref[0, k, p] = jnp.sum(pgrad[k][p])
+                sg_ref[0, k, si] = (jnp.sum(accs[s_pos(k, si)])
+                                    if si < n_spheres else f32(0.0))
+            for pi in range(P_pad):
+                pg_ref[0, k, pi] = (jnp.sum(accs[p_pos(k, pi)])
+                                    if pi < n_planes else f32(0.0))
 
     return kernel
 

@@ -223,191 +223,215 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
             live = one
 
             for b in range(max_bounces):
-                lv = live > 0.0
+                # Draws are taken OUTSIDE the early-out cond below so the
+                # RNG stream (hw or hash) is identical whether or not a
+                # bounce is skipped -> images are bit-identical to the
+                # dense kernel.  (Draw order must match the pre-early-out
+                # kernel: scan consumed no draws, so hoisting to the top
+                # of the bounce preserves the global sequence.)
+                ux0 = u01()
+                uy0 = u01()
+                uz0 = u01()
+                coin0 = u01()
 
-                best_t = jnp.full((rows, 128), f32(_BIG))
-                bcx = bcy = bcz = zero
-                bpnx = bpny = bpnz = zero
-                bar = bag = bab = zero
-                brf = one
-                brg = zero
-                bcl = zero
-                bpl = zero
-                b_idx = zero   # winner index (record mode)
-                b_root = zero  # sphere near-root bit (record mode)
+                def bounce_body(carry, ux=ux0, uy=uy0, uz=uz0, coin0=coin0):
+                    acc0, acc1, acc2, ox, oy, oz, dx, dy, dz, \
+                        tr, tg, tb, live = carry
+                    lv = live > 0.0
 
-                for p in range(n_planes):
-                    pnx, pny, pnz, pdd = (float(p_cols[i, p]) for i in range(4))
-                    nd = pnx * dx + pny * dy + pnz * dz
-                    no = pnx * ox + pny * oy + pnz * oz + pdd
-                    safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
-                    t = -no / safe
-                    ok = (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT) & (t < best_t)
-                    best_t = jnp.where(ok, t, best_t)
-                    bpnx = jnp.where(ok, pnx, bpnx)
-                    bpny = jnp.where(ok, pny, bpny)
-                    bpnz = jnp.where(ok, pnz, bpnz)
-                    bar = jnp.where(ok, float(p_cols[4, p]), bar)
-                    bag = jnp.where(ok, float(p_cols[5, p]), bag)
-                    bab = jnp.where(ok, float(p_cols[6, p]), bab)
-                    brf = jnp.where(ok, float(p_cols[7, p]), brf)
-                    brg = jnp.where(ok, float(p_cols[8, p]), brg)
-                    bcl = jnp.where(ok, float(p_cols[9, p]), bcl)
-                    bpl = jnp.where(ok, f32(1.0), bpl)
+                    best_t = jnp.full((rows, 128), f32(_BIG))
+                    bcx = bcy = bcz = zero
+                    bpnx = bpny = bpnz = zero
+                    bar = bag = bab = zero
+                    brf = one
+                    brg = zero
+                    bcl = zero
+                    bpl = zero
+                    b_idx = zero   # winner index (record mode)
+                    b_root = zero  # sphere near-root bit (record mode)
+
+                    for p in range(n_planes):
+                        pnx, pny, pnz, pdd = (float(p_cols[i, p]) for i in range(4))
+                        nd = pnx * dx + pny * dy + pnz * dz
+                        no = pnx * ox + pny * oy + pnz * oz + pdd
+                        safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
+                        t = -no / safe
+                        ok = (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT) & (t < best_t)
+                        best_t = jnp.where(ok, t, best_t)
+                        bpnx = jnp.where(ok, pnx, bpnx)
+                        bpny = jnp.where(ok, pny, bpny)
+                        bpnz = jnp.where(ok, pnz, bpnz)
+                        bar = jnp.where(ok, float(p_cols[4, p]), bar)
+                        bag = jnp.where(ok, float(p_cols[5, p]), bag)
+                        bab = jnp.where(ok, float(p_cols[6, p]), bab)
+                        brf = jnp.where(ok, float(p_cols[7, p]), brf)
+                        brg = jnp.where(ok, float(p_cols[8, p]), brg)
+                        bcl = jnp.where(ok, float(p_cols[9, p]), bcl)
+                        bpl = jnp.where(ok, f32(1.0), bpl)
+                        if record:
+                            b_idx = jnp.where(ok, f32(p), b_idx)
+
+                    for si in range(n_spheres):
+                        cx, cy, cz, rad = (float(s_cols[i, si]) for i in range(4))
+                        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                        bq = ocx * dx + ocy * dy + ocz * dz
+                        c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                        disc = bq * bq - c0
+                        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        t0 = -bq - sq
+                        t1 = -bq + sq
+                        t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+                        ok = (disc >= 0.0) & (t >= _MIN_HIT) & (
+                            (t < best_t) | ((t == best_t) & (bpl > 0.0))
+                        )
+                        best_t = jnp.where(ok, t, best_t)
+                        bcx = jnp.where(ok, cx, bcx)
+                        bcy = jnp.where(ok, cy, bcy)
+                        bcz = jnp.where(ok, cz, bcz)
+                        bar = jnp.where(ok, float(s_cols[4, si]), bar)
+                        bag = jnp.where(ok, float(s_cols[5, si]), bag)
+                        bab = jnp.where(ok, float(s_cols[6, si]), bab)
+                        brf = jnp.where(ok, float(s_cols[7, si]), brf)
+                        brg = jnp.where(ok, float(s_cols[8, si]), brg)
+                        bcl = jnp.where(ok, float(s_cols[9, si]), bcl)
+                        bpl = jnp.where(ok, f32(0.0), bpl)
+                        if record:
+                            b_idx = jnp.where(ok, f32(si), b_idx)
+                            b_root = jnp.where(ok, (t0 >= _MIN_HIT).astype(f32), b_root)
+
+                    hit = best_t < f32(1e37)
+
+                    # sky on miss (mg_ray_tracer.cpp:164)
+                    ts_ = 0.5 * (dy + 1.0)
+                    mf = (lv & ~hit).astype(f32)
+                    acc0 = acc0 + mf * tr * (1.0 - 0.5 * ts_)
+                    acc1 = acc1 + mf * tg * (1.0 - 0.3 * ts_)
+                    acc2 = acc2 + mf * tb
+
+                    live_h = lv & hit
+                    t_safe = jnp.where(hit, best_t, 0.0)
+                    hx = ox + t_safe * dx
+                    hy = oy + t_safe * dy
+                    hz = oz + t_safe * dz
+
+                    snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+                    sinv = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+                    ispl = bpl > 0.0
+                    nx = jnp.where(ispl, bpnx, snx * sinv)
+                    ny = jnp.where(ispl, bpny, sny * sinv)
+                    nz = jnp.where(ispl, bpnz, snz * sinv)
+
+                    if rng_mode == "sphere":
+                        # map U[0,1) -> [-1,1) before normalizing (approximation
+                        # of a uniform direction; reference mode is the default)
+                        ux = 2.0 * ux - 1.0
+                        uy = 2.0 * uy - 1.0
+                        uz = 2.0 * uz - 1.0
+                    uinv = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
+                    ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
+                    coin = coin0
+
+                    # lambert (mg_ray_tracer.cpp:109-123)
+                    lx, ly, lz = nx + ux, ny + uy, nz + uz
+                    ln2 = lx * lx + ly * ly + lz * lz
+                    ldeg = ln2 < 1e-16
+                    linv = jax.lax.rsqrt(jnp.where(ldeg, 1.0, ln2))
+                    lx = jnp.where(ldeg, nx, lx * linv)
+                    ly = jnp.where(ldeg, ny, ly * linv)
+                    lz = jnp.where(ldeg, nz, lz * linv)
+
+                    # metal (mg_ray_tracer.cpp:125-140)
+                    dd = dx * nx + dy * ny + dz * nz
+                    rx = dx - 2.0 * dd * nx
+                    ry = dy - 2.0 * dd * ny
+                    rz = dz - 2.0 * dd * nz
+                    mx = rx + brg * ux
+                    my = ry + brg * uy
+                    mz = rz + brg * uz
+                    mabs = (mx * nx + my * ny + mz * nz) <= 0.0
+                    minv = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
+                    mx, my, mz = mx * minv, my * minv, mz * minv
+
+                    # dielectric (sm_ray_tracer.cpp:181-219)
+                    inside = dd > 0.0
+                    sgn = jnp.where(inside, f32(-1.0), f32(1.0))
+                    onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
+                    eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+                    cosine = jnp.where(inside, brf * dd, -dd)
+                    cos_i = -(dx * onx + dy * ony + dz * onz)
+                    sin2 = eta * eta * (1.0 - cos_i * cos_i)
+                    tir = sin2 > 1.0
+                    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                    fxx = eta * dx + (eta * cos_i - cos_t) * onx
+                    fyy = eta * dy + (eta * cos_i - cos_t) * ony
+                    fzz = eta * dz + (eta * cos_i - cos_t) * onz
+                    r0 = (1.0 - brf) / (1.0 + brf)
+                    r0 = r0 * r0
+                    omc = 1.0 - cosine
+                    omc2 = omc * omc
+                    prob = jnp.where(tir, 1.0, r0 + (1.0 - r0) * omc2 * omc2 * omc)
+                    refl_bit = coin < prob
+                    gx = jnp.where(refl_bit, rx, fxx)
+                    gy = jnp.where(refl_bit, ry, fyy)
+                    gz = jnp.where(refl_bit, rz, fzz)
+                    ginv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+                    gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
+
+                    is_met = bcl == 1.0
+                    is_die = bcl == 2.0
+                    ndx = jnp.where(is_met, mx, lx)
+                    ndy = jnp.where(is_met, my, ly)
+                    ndz = jnp.where(is_met, mz, lz)
+                    ndx = jnp.where(is_die, gx, ndx)
+                    ndy = jnp.where(is_die, gy, ndy)
+                    ndz = jnp.where(is_die, gz, ndz)
+
+                    alive = live_h & ~(is_met & mabs)
+                    af = alive.astype(f32)
+                    naf = 1.0 - af
+                    tr = tr * (naf + af * bar * brf)
+                    tg = tg * (naf + af * bag * brf)
+                    tb = tb * (naf + af * bab * brf)
+
                     if record:
-                        b_idx = jnp.where(ok, f32(p), b_idx)
+                        kind_ref[0, b] = jnp.where(
+                            hit, jnp.where(ispl, f32(2.0), f32(1.0)), f32(0.0))
+                        idx_ref[0, b] = b_idx
+                        bits_ref[0, b] = (
+                            b_root
+                            + 2.0 * refl_bit.astype(f32)
+                            + 4.0 * ldeg.astype(f32)
+                            + 8.0 * (lv & ~hit).astype(f32)
+                            + 16.0 * lv.astype(f32)
+                            + 32.0 * af
+                        )
+                        urx_ref[0, b] = ux
+                        ury_ref[0, b] = uy
+                        urz_ref[0, b] = uz
+                        coin_ref[0, b] = coin
 
-                for si in range(n_spheres):
-                    cx, cy, cz, rad = (float(s_cols[i, si]) for i in range(4))
-                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                    bq = ocx * dx + ocy * dy + ocz * dz
-                    c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                    disc = bq * bq - c0
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    t0 = -bq - sq
-                    t1 = -bq + sq
-                    t = jnp.where(t0 >= _MIN_HIT, t0, t1)
-                    ok = (disc >= 0.0) & (t >= _MIN_HIT) & (
-                        (t < best_t) | ((t == best_t) & (bpl > 0.0))
-                    )
-                    best_t = jnp.where(ok, t, best_t)
-                    bcx = jnp.where(ok, cx, bcx)
-                    bcy = jnp.where(ok, cy, bcy)
-                    bcz = jnp.where(ok, cz, bcz)
-                    bar = jnp.where(ok, float(s_cols[4, si]), bar)
-                    bag = jnp.where(ok, float(s_cols[5, si]), bag)
-                    bab = jnp.where(ok, float(s_cols[6, si]), bab)
-                    brf = jnp.where(ok, float(s_cols[7, si]), brf)
-                    brg = jnp.where(ok, float(s_cols[8, si]), brg)
-                    bcl = jnp.where(ok, float(s_cols[9, si]), bcl)
-                    bpl = jnp.where(ok, f32(0.0), bpl)
-                    if record:
-                        b_idx = jnp.where(ok, f32(si), b_idx)
-                        b_root = jnp.where(ok, (t0 >= _MIN_HIT).astype(f32), b_root)
+                    lh = live_h.astype(f32)
+                    nlh = 1.0 - lh
+                    ox = nlh * ox + lh * hx
+                    oy = nlh * oy + lh * hy
+                    oz = nlh * oz + lh * hz
+                    dx = nlh * dx + lh * ndx
+                    dy = nlh * dy + lh * ndy
+                    dz = nlh * dz + lh * ndz
+                    return (acc0, acc1, acc2, ox, oy, oz, dx, dy, dz,
+                            tr, tg, tb, af)
 
-                hit = best_t < f32(1e37)
-
-                # sky on miss (mg_ray_tracer.cpp:164)
-                ts_ = 0.5 * (dy + 1.0)
-                mf = (lv & ~hit).astype(f32)
-                acc[0] += mf * tr * (1.0 - 0.5 * ts_)
-                acc[1] += mf * tg * (1.0 - 0.3 * ts_)
-                acc[2] += mf * tb
-
-                live_h = lv & hit
-                t_safe = jnp.where(hit, best_t, 0.0)
-                hx = ox + t_safe * dx
-                hy = oy + t_safe * dy
-                hz = oz + t_safe * dz
-
-                snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
-                sinv = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
-                ispl = bpl > 0.0
-                nx = jnp.where(ispl, bpnx, snx * sinv)
-                ny = jnp.where(ispl, bpny, sny * sinv)
-                nz = jnp.where(ispl, bpnz, snz * sinv)
-
-                ux = u01()
-                uy = u01()
-                uz = u01()
-                if rng_mode == "sphere":
-                    # map U[0,1) -> [-1,1) before normalizing (approximation
-                    # of a uniform direction; reference mode is the default)
-                    ux = 2.0 * ux - 1.0
-                    uy = 2.0 * uy - 1.0
-                    uz = 2.0 * uz - 1.0
-                uinv = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
-                ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
-                coin = u01()
-
-                # lambert (mg_ray_tracer.cpp:109-123)
-                lx, ly, lz = nx + ux, ny + uy, nz + uz
-                ln2 = lx * lx + ly * ly + lz * lz
-                ldeg = ln2 < 1e-16
-                linv = jax.lax.rsqrt(jnp.where(ldeg, 1.0, ln2))
-                lx = jnp.where(ldeg, nx, lx * linv)
-                ly = jnp.where(ldeg, ny, ly * linv)
-                lz = jnp.where(ldeg, nz, lz * linv)
-
-                # metal (mg_ray_tracer.cpp:125-140)
-                dd = dx * nx + dy * ny + dz * nz
-                rx = dx - 2.0 * dd * nx
-                ry = dy - 2.0 * dd * ny
-                rz = dz - 2.0 * dd * nz
-                mx = rx + brg * ux
-                my = ry + brg * uy
-                mz = rz + brg * uz
-                mabs = (mx * nx + my * ny + mz * nz) <= 0.0
-                minv = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
-                mx, my, mz = mx * minv, my * minv, mz * minv
-
-                # dielectric (sm_ray_tracer.cpp:181-219)
-                inside = dd > 0.0
-                sgn = jnp.where(inside, f32(-1.0), f32(1.0))
-                onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
-                eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
-                cosine = jnp.where(inside, brf * dd, -dd)
-                cos_i = -(dx * onx + dy * ony + dz * onz)
-                sin2 = eta * eta * (1.0 - cos_i * cos_i)
-                tir = sin2 > 1.0
-                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
-                fxx = eta * dx + (eta * cos_i - cos_t) * onx
-                fyy = eta * dy + (eta * cos_i - cos_t) * ony
-                fzz = eta * dz + (eta * cos_i - cos_t) * onz
-                r0 = (1.0 - brf) / (1.0 + brf)
-                r0 = r0 * r0
-                omc = 1.0 - cosine
-                omc2 = omc * omc
-                prob = jnp.where(tir, 1.0, r0 + (1.0 - r0) * omc2 * omc2 * omc)
-                refl_bit = coin < prob
-                gx = jnp.where(refl_bit, rx, fxx)
-                gy = jnp.where(refl_bit, ry, fyy)
-                gz = jnp.where(refl_bit, rz, fzz)
-                ginv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
-                gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
-
-                is_met = bcl == 1.0
-                is_die = bcl == 2.0
-                ndx = jnp.where(is_met, mx, lx)
-                ndy = jnp.where(is_met, my, ly)
-                ndz = jnp.where(is_met, mz, lz)
-                ndx = jnp.where(is_die, gx, ndx)
-                ndy = jnp.where(is_die, gy, ndy)
-                ndz = jnp.where(is_die, gz, ndz)
-
-                alive = live_h & ~(is_met & mabs)
-                af = alive.astype(f32)
-                naf = 1.0 - af
-                tr = tr * (naf + af * bar * brf)
-                tg = tg * (naf + af * bag * brf)
-                tb = tb * (naf + af * bab * brf)
-
-                if record:
-                    kind_ref[0, b] = jnp.where(
-                        hit, jnp.where(ispl, f32(2.0), f32(1.0)), f32(0.0))
-                    idx_ref[0, b] = b_idx
-                    bits_ref[0, b] = (
-                        b_root
-                        + 2.0 * refl_bit.astype(f32)
-                        + 4.0 * ldeg.astype(f32)
-                        + 8.0 * (lv & ~hit).astype(f32)
-                        + 16.0 * lv.astype(f32)
-                        + 32.0 * af
-                    )
-                    urx_ref[0, b] = ux
-                    ury_ref[0, b] = uy
-                    urz_ref[0, b] = uz
-                    coin_ref[0, b] = coin
-
-                lh = live_h.astype(f32)
-                nlh = 1.0 - lh
-                ox = nlh * ox + lh * hx
-                oy = nlh * oy + lh * hy
-                oz = nlh * oz + lh * hz
-                dx = nlh * dx + lh * ndx
-                dy = nlh * dy + lh * ndy
-                dz = nlh * dz + lh * ndz
-                live = af
+                carry = (acc[0], acc[1], acc[2], ox, oy, oz, dx, dy, dz,
+                         tr, tg, tb, live)
+                if b == 0 or record:
+                    # bounce 0 is always fully live; record mode must write
+                    # its residual refs every bounce, so it stays dense
+                    carry = bounce_body(carry)
+                else:
+                    carry = jax.lax.cond(
+                        jnp.sum(live) > 0.0, bounce_body, lambda c: c, carry)
+                (acc[0], acc[1], acc[2], ox, oy, oz, dx, dy, dz,
+                 tr, tg, tb, live) = carry
 
         out_ref[0, 0] = acc[0]
         out_ref[0, 1] = acc[1]
