@@ -795,7 +795,9 @@ def render_forward_blockwise(
     if mxu is None:
         mxu = False  # measured slower than the VPU scan on v5e (see module doc)
     if scan is None:
-        scan = "payload"
+        # lean carries measured 1.25-1.46x the payload scan on v5e (500/5000
+        # spheres) and are bit-exact against it on device — default
+        scan = "lean" if not mxu else "payload"
     if mxu:
         s_tab = jnp.asarray(_padded_table_mxu(s_cols, s_pad, "sphere"))
         p_tab = jnp.asarray(_padded_table_mxu(p_cols, p_pad, "plane"))
@@ -885,7 +887,7 @@ def render_forward_blockwise_sharded(
     if mxu is None:
         mxu = False
     if scan is None:
-        scan = "payload"
+        scan = "lean" if not mxu else "payload"
     if mxu:
         s_tab = jnp.asarray(_padded_table_mxu(s_cols, s_pad, "sphere"))
         p_tab = jnp.asarray(_padded_table_mxu(p_cols, p_pad, "plane"))

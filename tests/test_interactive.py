@@ -142,7 +142,11 @@ def test_cli_watch_rerenders(tmp_path):
         os.utime(scene_file, (time.time() + 4, time.time() + 4))
         _read_until(fd, r"reloaded", timeout=30)
         _read_until(fd, r"rendered 32x24", timeout=60)
-        time.sleep(0.2)
+        # the PNG write lands after the "rendered" log line; poll rather
+        # than sleep a fixed amount (the full suite loads the machine)
+        deadline = time.time() + 15
+        while time.time() < deadline and out.stat().st_mtime == mtime0:
+            time.sleep(0.2)
         assert out.stat().st_mtime != mtime0
     finally:
         proc.send_signal(signal.SIGINT)
