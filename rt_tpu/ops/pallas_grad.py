@@ -108,6 +108,10 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
     S_pad = max(n_spheres, 1)
     P_pad = max(n_planes, 1)
     scan = _make_scan(s_cols, p_cols, rows)
+    # early-out gates: same rationale as the mono kernel (see above) —
+    # cond carries must stay small or Mosaic's scoped VMEM blows up
+    fwd_eo = lean
+    rev_eo = lean and (n_spheres + n_planes) <= 32
 
     def kernel(cam_ref, seed_ref, cot_ref, sg_ref, pg_ref, cg_ref):
         tile = pl.program_id(0)
@@ -220,7 +224,7 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
                         + tuple([fbool] * 13))
 
             carry = (ox, oy, oz, dx, dy, dz, tr, tg, tb, live)
-            out = (fwd_body(carry) if b == 0 else
+            out = (fwd_body(carry) if (b == 0 or not fwd_eo) else
                    jax.lax.cond(anyl, fwd_body, fwd_skip, carry))
             o_prev = (ox, oy, oz)
             d_prev = (dx, dy, dz)
@@ -331,8 +335,9 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
                 return tuple(co_p) + tuple(cd_p) + tuple(ct_p) + tuple(accs)
 
             carry = tuple(co) + tuple(cd) + tuple(ct) + tuple(accs)
-            out = jax.lax.cond(st["anyl"], rev_body,
-                               lambda c: tuple(c), carry)
+            out = (rev_body(carry) if not rev_eo else
+                   jax.lax.cond(st["anyl"], rev_body,
+                                lambda c: tuple(c), carry))
             co = list(out[0:3])
             cd = list(out[3:6])
             ct = list(out[6:9])
@@ -654,6 +659,15 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
     assert not (lean and residuals == "eager"), \
         "eager residuals subsume the payload stash; lean must be False"
     scan = _make_scan(s_cols, p_cols, rows)
+    # Per-bounce dead-tile early-out gates (measured on v5e-1): the lean
+    # stash rides the lax.cond with only 2 extra carries and wins (mono
+    # rows=16 lean: 370 -> 448 Mrays/s on the headline bench); the 41-array
+    # payload stash as cond carries blows the 16 MiB scoped-VMEM limit, and
+    # eager's vjp closures cannot cross a cond — both stay dense.  The
+    # reverse cond carries the per-primitive accumulators, so it is also
+    # gated on primitive count.
+    fwd_eo = lean
+    rev_eo = lean and (n_spheres + n_planes) <= 32
     # wide per-primitive accumulators: (rows,128) running sums per
     # (slot, primitive) — gate on VMEM footprint
     wide = (9 * (n_spheres + n_planes) * rows * 128 * 4) <= (2 << 20)
@@ -808,7 +822,7 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
 
                 carry = (ox, oy, oz, dx, dy, dz, tr, tg, tb, live,
                          img[0], img[1], img[2])
-                out = (fwd_body(carry) if b == 0 else
+                out = (fwd_body(carry) if (b == 0 or not fwd_eo) else
                        jax.lax.cond(anyl, fwd_body, fwd_skip, carry))
                 o_prev = (ox, oy, oz)
                 d_prev = (dx, dy, dz)
@@ -948,8 +962,9 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                             + tuple(accs))
 
                 carry = (tuple(co) + tuple(cd) + tuple(ct) + tuple(accs))
-                out = jax.lax.cond(st["anyl"], rev_body,
-                                   lambda c: tuple(c), carry)
+                out = (rev_body(carry) if not rev_eo else
+                       jax.lax.cond(st["anyl"], rev_body,
+                                    lambda c: tuple(c), carry))
                 co = list(out[0:3])
                 cd = list(out[3:6])
                 ct = list(out[6:9])
