@@ -108,6 +108,14 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
     S_pad = max(n_spheres, 1)
     P_pad = max(n_planes, 1)
     scan = _make_scan(s_cols, p_cols, rows)
+    # class-presence specialization (bit-exact: absent classes have
+    # all-false select masks) — see _bounce_smooth
+    has_met = bool((s_cols[9] == 1.0).any() or (p_cols[9] == 1.0).any())
+    has_die = bool((s_cols[9] == 2.0).any() or (p_cols[9] == 2.0).any())
+    _smooth = functools.partial(_bounce_smooth, has_met=has_met,
+                                has_die=has_die)
+    _decide = functools.partial(_decisions, has_met=has_met,
+                                has_die=has_die)
     # early-out gates: same rationale as the mono kernel (see above) —
     # cond carries must stay small or Mosaic's scoped VMEM blows up
     fwd_eo = lean
@@ -196,10 +204,10 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
                 lv = live > 0.0
                 best_t, pay, bidx, bpl, broot, bcl = scan(
                     (ox, oy, oz), (dx, dy, dz))
-                bits = _decisions(best_t, pay, bpl, broot, bcl,
+                bits = _decide(best_t, pay, bpl, broot, bcl,
                                   (ox, oy, oz), (dx, dy, dz), lv,
                                   (ux, uy, uz), coin)
-                o_n, d_n, thr_n, _ = _bounce_smooth(
+                o_n, d_n, thr_n, _ = _smooth(
                     (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
                     pay, (ux, uy, uz), bits)
                 state = (o_n[0], o_n[1], o_n[2], d_n[0], d_n[1], d_n[2],
@@ -305,8 +313,8 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
                     stl = st
 
                 def fb(o3, d3, thr3, pay, stl=stl):
-                    return _bounce_smooth(o3, d3, thr3, pay, stl["u"],
-                                          stl["bits"])
+                    return _smooth(o3, d3, thr3, pay, stl["u"],
+                                   stl["bits"])
 
                 primals = (stl["o"], stl["d"], stl["thr"], stl["pay"])
                 _, fvjp = jax.vjp(fb, *primals)
@@ -369,12 +377,18 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
     return kernel
 
 
-def _bounce_smooth(o3, d3, thr3, pay, u3, bits):
+def _bounce_smooth(o3, d3, thr3, pay, u3, bits, has_met=True, has_die=True):
     """The smooth per-bounce map with all discrete decisions pinned.
 
     Returns (o', d', thr', radiance_contribution).  Used both to advance the
     forward state and (under jax.vjp) for the reverse sweep — keeping one
     definition guarantees the adjoint matches the primal.
+
+    ``has_met`` / ``has_die``: class-presence specialization.  The unrolled
+    kernels bake the scene, so when no primitive carries a metal or
+    dielectric material the corresponding scatter block is statically dead
+    (its select mask is all-false) — skipping it is bit-exact and removes
+    ~60 ops/bounce of Fresnel math from the primal AND its transpose.
     """
     f32 = jnp.float32
     ox, oy, oz = o3
@@ -434,38 +448,40 @@ def _bounce_smooth(o3, d3, thr3, pay, u3, bits):
     ly = jnp.where(ldeg, ny, lyr * linv)
     lz = jnp.where(ldeg, nz, lzr * linv)
 
-    ddot = dx * nx + dy * ny + dz * nz
-    rx = dx - 2.0 * ddot * nx
-    ry = dy - 2.0 * ddot * ny
-    rz = dz - 2.0 * ddot * nz
-    mx = rx + brg * ux
-    my = ry + brg * uy
-    mz = rz + brg * uz
-    minv = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
-    mx, my, mz = mx * minv, my * minv, mz * minv
-
-    sgn = jnp.where(inside, f32(-1.0), f32(1.0))
-    onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
-    eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
-    cos_i = jnp.where(inside, ddot, -ddot)
-    sin2 = eta * eta * (1.0 - cos_i * cos_i)
-    cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin2, 1e-12)))
-    cos_t = jnp.where(tir, 0.0, cos_t)
-    fxx = eta * dx + (eta * cos_i - cos_t) * onx
-    fyy = eta * dy + (eta * cos_i - cos_t) * ony
-    fzz = eta * dz + (eta * cos_i - cos_t) * onz
-    gx = jnp.where(refl_bit, rx, fxx)
-    gy = jnp.where(refl_bit, ry, fyy)
-    gz = jnp.where(refl_bit, rz, fzz)
-    ginv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
-    gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
-
-    ndx = jnp.where(is_met, mx, lx)
-    ndy = jnp.where(is_met, my, ly)
-    ndz = jnp.where(is_met, mz, lz)
-    ndx = jnp.where(is_die, gx, ndx)
-    ndy = jnp.where(is_die, gy, ndy)
-    ndz = jnp.where(is_die, gz, ndz)
+    ndx, ndy, ndz = lx, ly, lz
+    if has_met or has_die:
+        ddot = dx * nx + dy * ny + dz * nz
+        rx = dx - 2.0 * ddot * nx
+        ry = dy - 2.0 * ddot * ny
+        rz = dz - 2.0 * ddot * nz
+    if has_met:
+        mx = rx + brg * ux
+        my = ry + brg * uy
+        mz = rz + brg * uz
+        minv = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
+        mx, my, mz = mx * minv, my * minv, mz * minv
+        ndx = jnp.where(is_met, mx, ndx)
+        ndy = jnp.where(is_met, my, ndy)
+        ndz = jnp.where(is_met, mz, ndz)
+    if has_die:
+        sgn = jnp.where(inside, f32(-1.0), f32(1.0))
+        onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
+        eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+        cos_i = jnp.where(inside, ddot, -ddot)
+        sin2 = eta * eta * (1.0 - cos_i * cos_i)
+        cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin2, 1e-12)))
+        cos_t = jnp.where(tir, 0.0, cos_t)
+        fxx = eta * dx + (eta * cos_i - cos_t) * onx
+        fyy = eta * dy + (eta * cos_i - cos_t) * ony
+        fzz = eta * dz + (eta * cos_i - cos_t) * onz
+        gx = jnp.where(refl_bit, rx, fxx)
+        gy = jnp.where(refl_bit, ry, fyy)
+        gz = jnp.where(refl_bit, rz, fzz)
+        ginv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+        gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
+        ndx = jnp.where(is_die, gx, ndx)
+        ndy = jnp.where(is_die, gy, ndy)
+        ndz = jnp.where(is_die, gz, ndz)
 
     af = alive.astype(f32)
     naf = 1.0 - af
@@ -587,9 +603,12 @@ def _make_scan(s_cols, p_cols, rows):
     return scan
 
 
-def _decisions(best_t, pay, bpl, broot, bcl, o3, d3, lv, u3, coin):
+def _decisions(best_t, pay, bpl, broot, bcl, o3, d3, lv, u3, coin,
+               has_met=True, has_die=True):
     """Decision bits from the forward values — the discrete structure pinned
-    for the detached-sampling vjp (same math as the render kernel)."""
+    for the detached-sampling vjp (same math as the render kernel).  The
+    metal/dielectric decision math is skipped (bits pinned all-false) when
+    the baked scene has no such materials — see _bounce_smooth."""
     f32 = jnp.float32
     ox, oy, oz = o3
     dx, dy, dz = d3
@@ -611,27 +630,39 @@ def _decisions(best_t, pay, bpl, broot, bcl, o3, d3, lv, u3, coin):
     nz = jnp.where(ispl, bpnz, snz * sinv)
     lxr, lyr, lzr = nx + ux, ny + uy, nz + uz
     ldeg = (lxr * lxr + lyr * lyr + lzr * lzr) < 1e-16
-    ddot = dx * nx + dy * ny + dz * nz
-    mxr = (dx - 2.0 * ddot * nx) + brg * ux
-    myr = (dy - 2.0 * ddot * ny) + brg * uy
-    mzr = (dz - 2.0 * ddot * nz) + brg * uz
-    mabs = (mxr * nx + myr * ny + mzr * nz) <= 0.0
-    inside = ddot > 0.0
-    eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
-    cosine = jnp.where(inside, brf * ddot, -ddot)
-    cos_i = jnp.where(inside, ddot, -ddot)
-    sin2 = eta * eta * (1.0 - cos_i * cos_i)
-    tir = sin2 > 1.0
-    r0_ = (1.0 - brf) / (1.0 + brf)
-    r0_ = r0_ * r0_
-    omc = 1.0 - cosine
-    omc2 = omc * omc
-    prob = jnp.where(tir, 1.0, r0_ + (1.0 - r0_) * omc2 * omc2 * omc)
-    refl_bit = coin < prob
+    fbool = jnp.zeros(jnp.shape(best_t), jnp.bool_)
+    if has_met or has_die:
+        ddot = dx * nx + dy * ny + dz * nz
+    if has_met:
+        mxr = (dx - 2.0 * ddot * nx) + brg * ux
+        myr = (dy - 2.0 * ddot * ny) + brg * uy
+        mzr = (dz - 2.0 * ddot * nz) + brg * uz
+        mabs = (mxr * nx + myr * ny + mzr * nz) <= 0.0
+        is_met = bcl == 1.0
+    else:
+        mabs = fbool
+        is_met = fbool
+    if has_die:
+        inside = ddot > 0.0
+        eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+        cosine = jnp.where(inside, brf * ddot, -ddot)
+        cos_i = jnp.where(inside, ddot, -ddot)
+        sin2 = eta * eta * (1.0 - cos_i * cos_i)
+        tir = sin2 > 1.0
+        r0_ = (1.0 - brf) / (1.0 + brf)
+        r0_ = r0_ * r0_
+        omc = 1.0 - cosine
+        omc2 = omc * omc
+        prob = jnp.where(tir, 1.0, r0_ + (1.0 - r0_) * omc2 * omc2 * omc)
+        refl_bit = coin < prob
+        is_die = bcl == 2.0
+    else:
+        inside = fbool
+        tir = fbool
+        refl_bit = fbool
+        is_die = fbool
 
-    is_met = bcl == 1.0
-    is_die = bcl == 2.0
-    alive = live_h & ~(is_met & mabs)
+    alive = live_h & ~(is_met & mabs) if has_met else live_h
     miss = lv & ~hit
 
     return dict(hit=hit, live_h=live_h, miss=miss, alive=alive,
@@ -659,6 +690,14 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
     assert not (lean and residuals == "eager"), \
         "eager residuals subsume the payload stash; lean must be False"
     scan = _make_scan(s_cols, p_cols, rows)
+    # class-presence specialization (bit-exact: absent classes have
+    # all-false select masks) — see _bounce_smooth
+    has_met = bool((s_cols[9] == 1.0).any() or (p_cols[9] == 1.0).any())
+    has_die = bool((s_cols[9] == 2.0).any() or (p_cols[9] == 2.0).any())
+    _smooth = functools.partial(_bounce_smooth, has_met=has_met,
+                                has_die=has_die)
+    _decide = functools.partial(_decisions, has_met=has_met,
+                                has_die=has_die)
     # Per-bounce dead-tile early-out gates (measured on v5e-1): the lean
     # stash rides the lax.cond with only 2 extra carries and wins (mono
     # rows=16 lean: 370 -> 448 Mrays/s on the headline bench); the 41-array
@@ -766,12 +805,12 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                     lv = live > 0.0
                     best_t, pay, bidx, bpl, broot, bcl = scan(
                         (ox, oy, oz), (dx, dy, dz))
-                    bits = _decisions(best_t, pay, bpl, broot, bcl,
+                    bits = _decide(best_t, pay, bpl, broot, bcl,
                                       (ox, oy, oz), (dx, dy, dz), lv,
                                       (ux, uy, uz), coin)
 
                     def fb(o3, d3, thr3, pay_, u3=(ux, uy, uz), bits=bits):
-                        return _bounce_smooth(o3, d3, thr3, pay_, u3, bits)
+                        return _smooth(o3, d3, thr3, pay_, u3, bits)
 
                     (o_n, d_n, thr_n, rad), fvjp = jax.vjp(
                         fb, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), pay)
@@ -792,10 +831,10 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                     lv = live > 0.0
                     best_t, pay, bidx, bpl, broot, bcl = scan(
                         (ox, oy, oz), (dx, dy, dz))
-                    bits = _decisions(best_t, pay, bpl, broot, bcl,
+                    bits = _decide(best_t, pay, bpl, broot, bcl,
                                       (ox, oy, oz), (dx, dy, dz), lv,
                                       (ux, uy, uz), coin)
-                    o_n, d_n, thr_n, rad = _bounce_smooth(
+                    o_n, d_n, thr_n, rad = _smooth(
                         (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
                         pay, (ux, uy, uz), bits)
                     state = (o_n[0], o_n[1], o_n[2], d_n[0], d_n[1], d_n[2],
@@ -925,8 +964,8 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                         fvjp = stl["fvjp"]
                     else:
                         def fb(o3, d3, thr3, pay, stl=stl):
-                            return _bounce_smooth(o3, d3, thr3, pay,
-                                                  stl["u"], stl["bits"])
+                            return _smooth(o3, d3, thr3, pay,
+                                           stl["u"], stl["bits"])
 
                         primals = (stl["o"], stl["d"], stl["thr"], stl["pay"])
                         _, fvjp = jax.vjp(fb, *primals)

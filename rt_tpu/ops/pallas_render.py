@@ -163,6 +163,12 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
     # on primitive count; record mode must stay dense (its residual refs
     # are written every bounce).
     early_out = (s_cols.shape[1] + p_cols.shape[1]) >= 64 and not record
+    # class-presence specialization: when the baked scene has no metal /
+    # dielectric primitives those scatter blocks have all-false select
+    # masks — skipping them is bit-exact and saves ~60 ops/bounce of
+    # Fresnel math (see rt_tpu.ops.pallas_grad._bounce_smooth)
+    has_met = bool((s_cols[9] == 1.0).any()) or bool((p_cols[9] == 1.0).any())
+    has_die = bool((s_cols[9] == 2.0).any()) or bool((p_cols[9] == 2.0).any())
     n_spheres = s_cols.shape[1]
     n_planes = p_cols.shape[1]
     f32 = jnp.float32
@@ -348,53 +354,59 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                     ly = jnp.where(ldeg, ny, ly * linv)
                     lz = jnp.where(ldeg, nz, lz * linv)
 
-                    # metal (mg_ray_tracer.cpp:125-140)
-                    dd = dx * nx + dy * ny + dz * nz
-                    rx = dx - 2.0 * dd * nx
-                    ry = dy - 2.0 * dd * ny
-                    rz = dz - 2.0 * dd * nz
-                    mx = rx + brg * ux
-                    my = ry + brg * uy
-                    mz = rz + brg * uz
-                    mabs = (mx * nx + my * ny + mz * nz) <= 0.0
-                    minv = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
-                    mx, my, mz = mx * minv, my * minv, mz * minv
+                    ndx, ndy, ndz = lx, ly, lz
+                    fbool = jnp.zeros((rows, 128), jnp.bool_)
+                    refl_bit = fbool
+                    mabs = fbool
+                    is_met = fbool
+                    if has_met or has_die:
+                        dd = dx * nx + dy * ny + dz * nz
+                        rx = dx - 2.0 * dd * nx
+                        ry = dy - 2.0 * dd * ny
+                        rz = dz - 2.0 * dd * nz
+                    if has_met:
+                        # metal (mg_ray_tracer.cpp:125-140)
+                        mx = rx + brg * ux
+                        my = ry + brg * uy
+                        mz = rz + brg * uz
+                        mabs = (mx * nx + my * ny + mz * nz) <= 0.0
+                        minv = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
+                        mx, my, mz = mx * minv, my * minv, mz * minv
+                        is_met = bcl == 1.0
+                        ndx = jnp.where(is_met, mx, ndx)
+                        ndy = jnp.where(is_met, my, ndy)
+                        ndz = jnp.where(is_met, mz, ndz)
+                    if has_die:
+                        # dielectric (sm_ray_tracer.cpp:181-219)
+                        inside = dd > 0.0
+                        sgn = jnp.where(inside, f32(-1.0), f32(1.0))
+                        onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
+                        eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+                        cosine = jnp.where(inside, brf * dd, -dd)
+                        cos_i = -(dx * onx + dy * ony + dz * onz)
+                        sin2 = eta * eta * (1.0 - cos_i * cos_i)
+                        tir = sin2 > 1.0
+                        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+                        fxx = eta * dx + (eta * cos_i - cos_t) * onx
+                        fyy = eta * dy + (eta * cos_i - cos_t) * ony
+                        fzz = eta * dz + (eta * cos_i - cos_t) * onz
+                        r0 = (1.0 - brf) / (1.0 + brf)
+                        r0 = r0 * r0
+                        omc = 1.0 - cosine
+                        omc2 = omc * omc
+                        prob = jnp.where(tir, 1.0, r0 + (1.0 - r0) * omc2 * omc2 * omc)
+                        refl_bit = coin < prob
+                        gx = jnp.where(refl_bit, rx, fxx)
+                        gy = jnp.where(refl_bit, ry, fyy)
+                        gz = jnp.where(refl_bit, rz, fzz)
+                        ginv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+                        gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
+                        is_die = bcl == 2.0
+                        ndx = jnp.where(is_die, gx, ndx)
+                        ndy = jnp.where(is_die, gy, ndy)
+                        ndz = jnp.where(is_die, gz, ndz)
 
-                    # dielectric (sm_ray_tracer.cpp:181-219)
-                    inside = dd > 0.0
-                    sgn = jnp.where(inside, f32(-1.0), f32(1.0))
-                    onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
-                    eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
-                    cosine = jnp.where(inside, brf * dd, -dd)
-                    cos_i = -(dx * onx + dy * ony + dz * onz)
-                    sin2 = eta * eta * (1.0 - cos_i * cos_i)
-                    tir = sin2 > 1.0
-                    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
-                    fxx = eta * dx + (eta * cos_i - cos_t) * onx
-                    fyy = eta * dy + (eta * cos_i - cos_t) * ony
-                    fzz = eta * dz + (eta * cos_i - cos_t) * onz
-                    r0 = (1.0 - brf) / (1.0 + brf)
-                    r0 = r0 * r0
-                    omc = 1.0 - cosine
-                    omc2 = omc * omc
-                    prob = jnp.where(tir, 1.0, r0 + (1.0 - r0) * omc2 * omc2 * omc)
-                    refl_bit = coin < prob
-                    gx = jnp.where(refl_bit, rx, fxx)
-                    gy = jnp.where(refl_bit, ry, fyy)
-                    gz = jnp.where(refl_bit, rz, fzz)
-                    ginv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
-                    gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
-
-                    is_met = bcl == 1.0
-                    is_die = bcl == 2.0
-                    ndx = jnp.where(is_met, mx, lx)
-                    ndy = jnp.where(is_met, my, ly)
-                    ndz = jnp.where(is_met, mz, lz)
-                    ndx = jnp.where(is_die, gx, ndx)
-                    ndy = jnp.where(is_die, gy, ndy)
-                    ndz = jnp.where(is_die, gz, ndz)
-
-                    alive = live_h & ~(is_met & mabs)
+                    alive = live_h & ~(is_met & mabs) if has_met else live_h
                     af = alive.astype(f32)
                     naf = 1.0 - af
                     tr = tr * (naf + af * bar * brf)

@@ -278,3 +278,30 @@ def test_interpret_mono_eager_residuals_match():
     for k in g0:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_interpret_fused_grad_dielectric_personality():
+    # sm personality on dielectric.toml exercises the has_die branch of the
+    # class-presence specialization (Fresnel/refraction + its transpose)
+    from rt_tpu import diff
+    from rt_tpu.ops.pallas_grad import pallas_mse_loss_and_grad
+
+    s = rt_tpu.load("/root/reference/scenes/dielectric.toml")
+    size, spp, B = (24, 16), 1, 2
+    params = diff.extract_params(s)
+    target = jnp.zeros((size[1], size[0], 3), jnp.float32) + 0.3
+
+    loss_f, g_f = pallas_mse_loss_and_grad(
+        params, s, target, size, seed=4, spp=spp, max_bounces=B,
+        rows=8, rng_impl="hash", interpret=True, mode="mono",
+        personality="sm")
+    loss_r, g_r = diff.pallas_loss_and_grad(
+        params, s, target, size, seed=4, spp=spp, max_bounces=B,
+        rng_impl="hash", interpret=True, personality="sm")
+
+    assert float(loss_f) == pytest.approx(float(loss_r), rel=1e-5)
+    for k in g_r:
+        a, b = np.asarray(g_f[k]), np.asarray(g_r[k])
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-3,
+                                   err_msg=k)
