@@ -99,11 +99,16 @@ def scaling(args) -> None:
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * n)
-        print(json.dumps({
+        row = {
             "metric": f"scaling rays/s ({n} devices)",
             "value": round(rate, 2), "unit": "Mrays/s",
             "vs_baseline": round(eff, 3),
-        }))
+        }
+        if jax.devices()[0].platform == "cpu":
+            # virtual devices share one physical CPU: the ladder validates
+            # the sharded code path, not real scaling efficiency
+            row["note"] = "virtual mesh (shared cores) — path check only"
+        print(json.dumps(row))
         n *= 2
 
 

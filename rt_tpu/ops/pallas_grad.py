@@ -1127,13 +1127,13 @@ def pallas_mse_loss_and_grad(
     spp: int = 4,
     max_bounces: Optional[int] = None,
     personality: str = "mg",
-    rows: int = 32,
+    rows: int = 24,
     rng_mode: str = "reference",
-    lean: bool = False,
+    lean: bool = True,
     fwd_rows: Optional[int] = None,
     rng_impl: str = "hw",
     interpret: bool = False,
-    mode: str = "multi",
+    mode: str = "mono",
     residuals: str = "recompute",
 ):
     """MSE loss + scene-parameter gradients, everything on-chip.
@@ -1154,6 +1154,11 @@ def pallas_mse_loss_and_grad(
     if max_bounces is None:
         max_bounces = scene.max_bounces
     concrete = apply_params(scene, jax.tree_util.tree_map(jnp.asarray, params))
+    if residuals == "eager":
+        # eager stashes full vjp residuals — the lean stash is moot (and the
+        # two are mutually exclusive in the kernel); explicit opt-in wins
+        # over the lean default
+        lean = False
     n_prims = concrete.spheres.count + concrete.planes.count
     if n_prims > MAX_GRAD_PRIMS and not lean:
         # beyond the full-payload stash cap only the winner-id stash fits
@@ -1162,6 +1167,14 @@ def pallas_mse_loss_and_grad(
         # the mono kernel unrolls spp x bounces x prims — too big past the
         # payload cap; the per-sample pipeline handles 97..640
         mode = "multi"
+    if mode == "mono":
+        # the mono VMEM stash is (arrays/bounce) x rows x 128 x bounces x
+        # spp; past ~11 MiB of the 16 MiB scoped-VMEM budget Mosaic OOMs —
+        # high-spp steps run the per-sample pipeline instead
+        stash_mb = ((14 if lean else 41) * rows * 128 * 4
+                    * max_bounces * spp / 2**20)
+        if stash_mb > 11.0:
+            mode = "multi"
     if not pallas_grad_supported(concrete, lean=lean):
         raise ValueError("scene exceeds the fused grad kernel limits")
 
@@ -1203,13 +1216,13 @@ def make_mse_step(
     spp: int = 4,
     max_bounces: Optional[int] = None,
     personality: str = "mg",
-    rows: int = 32,
+    rows: int = 24,
     rng_mode: str = "reference",
-    lean: bool = False,
+    lean: bool = True,
     fwd_rows: Optional[int] = None,
     rng_impl: str = "hw",
     interpret: bool = False,
-    mode: str = "multi",
+    mode: str = "mono",
     residuals: str = "recompute",
     dbg: tuple = (),
 ):
@@ -1233,6 +1246,11 @@ def make_mse_step(
     if max_bounces is None:
         max_bounces = scene.max_bounces
     concrete = apply_params(scene, jax.tree_util.tree_map(jnp.asarray, params))
+    if residuals == "eager":
+        # eager stashes full vjp residuals — the lean stash is moot (and the
+        # two are mutually exclusive in the kernel); explicit opt-in wins
+        # over the lean default
+        lean = False
     n_prims = concrete.spheres.count + concrete.planes.count
     if n_prims > MAX_GRAD_PRIMS and not lean:
         # beyond the full-payload stash cap only the winner-id stash fits
@@ -1241,6 +1259,14 @@ def make_mse_step(
         # the mono kernel unrolls spp x bounces x prims — too big past the
         # payload cap; the per-sample pipeline handles 97..640
         mode = "multi"
+    if mode == "mono":
+        # the mono VMEM stash is (arrays/bounce) x rows x 128 x bounces x
+        # spp; past ~11 MiB of the 16 MiB scoped-VMEM budget Mosaic OOMs —
+        # high-spp steps run the per-sample pipeline instead
+        stash_mb = ((14 if lean else 41) * rows * 128 * 4
+                    * max_bounces * spp / 2**20)
+        if stash_mb > 11.0:
+            mode = "multi"
     if not pallas_grad_supported(concrete, lean=lean):
         raise ValueError("scene exceeds the fused grad kernel limits")
 

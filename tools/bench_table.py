@@ -113,8 +113,10 @@ def main():
                  f"{800*600*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step, "
                  f"grad_ok={grad_ok})"))
 
-    # --- 96-640-primitive window: fused gradients via the blockwise grad
-    # kernel (runtime tables; the unrolled fused kernel caps at 96 prims) ----
+    # --- 96-640-primitive window: fused gradients two ways -----------------
+    # (a) the unrolled fused kernel with the lean winner-id stash (auto past
+    # the 96-prim payload cap, FD-validated rel err ~0.5% on device);
+    # (b) the blockwise grad kernel (runtime tables, no recompile on edits)
     import optax
 
     s200 = rt_tpu.scene.make_procedural_scene(200)
@@ -124,6 +126,12 @@ def main():
     tgt_s = jnp.zeros((small[1], small[0], 3), jnp.float32)
     opt = optax.adam(1e-2)
     p200 = diff.extract_params(s200)
+    fstep = make_mse_step(p200, s200, tgt_s, small, spp=2, max_bounces=6,
+                          rows=8, mode="multi")
+    t = sustained(lambda i: fstep(i)[1], iters=16)
+    rows.append(("window: 200-sphere 400x300 @2spp d6 fwd+bwd "
+                 "(unrolled fused, lean stash)",
+                 f"{small[0]*small[1]*2/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step)"))
     bw_step = make_bw_train_step(opt, s200, tgt_s, small, spp=4, max_bounces=8)
     st = opt.init(p200)
 
@@ -145,6 +153,15 @@ def main():
     rows.append((f"4: 500-sphere 1080p @{spp4}spp d8 fwd (blockwise)",
                  f"{rb/t/1e9:.2f} Gray-bounces/s ({t:.2f} s/frame; "
                  f"128 spp ≈ {t*128/spp4:.1f} s)"))
+
+    # static-scene alternative: the unrolled megakernel (scene baked, per-
+    # bounce dead-tile early-out) — recompiles on geometry edits but runs
+    # the same frame substantially faster
+    step500 = make_render_step(s500, (1920, 1080), spp=spp4, max_bounces=8)
+    t = sustained(step500, iters=4)
+    rows.append((f"4: 500-sphere 1080p @{spp4}spp d8 fwd (unrolled, "
+                 "early-out)",
+                 f"{rb/t/1e9:.2f} Gray-bounces/s ({t:.2f} s/frame)"))
 
     # --- config 4: gradients at 500 spheres ---------------------------------
     p500 = diff.extract_params(s500)
@@ -182,9 +199,10 @@ def main():
         "  blocked once at the end — the steady interactive/serving/training",
         "  shape.  Single blocked eager calls additionally pay a ~25-50 ms",
         "  host→TPU tunnel round trip (reported separately in row 1).",
-        "- fwd+bwd rows use the fused Pallas kernels (unrolled ≤96 prims,",
-        "  blockwise runtime-table kernels beyond); gradient convention is",
-        "  detached sampling, FD-validated in tests and tools/tpu_smoke.",
+        "- fwd+bwd rows use the fused Pallas kernels (unrolled ≤640 prims",
+        "  via the lean winner-id stash, blockwise runtime-table kernels",
+        "  beyond); gradient convention is detached sampling, FD-validated",
+        "  in tests and tools/tpu_smoke.",
         "- Rows 4/5 count potential ray-bounces (W*H*spp*depth); the",
         "  reference's linear-scan semantics make work proportional to",
         "  ray-bounces x primitives.",
