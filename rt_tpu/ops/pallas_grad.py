@@ -116,6 +116,8 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
                                 has_die=has_die)
     _decide = functools.partial(_decisions, has_met=has_met,
                                 has_die=has_die)
+    _fwdb = functools.partial(_bounce_forward, has_met=has_met,
+                              has_die=has_die)
     # early-out gates: same rationale as the mono kernel (see above) —
     # cond carries must stay small or Mosaic's scoped VMEM blows up
     fwd_eo = lean
@@ -204,12 +206,10 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
                 lv = live > 0.0
                 best_t, pay, bidx, bpl, broot, bcl = scan(
                     (ox, oy, oz), (dx, dy, dz))
-                bits = _decide(best_t, pay, bpl, broot, bcl,
-                                  (ox, oy, oz), (dx, dy, dz), lv,
-                                  (ux, uy, uz), coin)
-                o_n, d_n, thr_n, _ = _smooth(
+                o_n, d_n, thr_n, _, bits = _fwdb(
                     (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
-                    pay, (ux, uy, uz), bits)
+                    best_t, pay, bpl, broot, bcl, lv,
+                    (ux, uy, uz), coin)
                 state = (o_n[0], o_n[1], o_n[2], d_n[0], d_n[1], d_n[2],
                          thr_n[0], thr_n[1], thr_n[2],
                          bits["alive"].astype(f32))
@@ -603,6 +603,127 @@ def _make_scan(s_cols, p_cols, rows):
     return scan
 
 
+def _bounce_forward(o3, d3, thr3, best_t, pay, bpl, broot, bcl, lv, u3, coin,
+                    has_met=True, has_die=True):
+    """Fused forward bounce: decision bits + scatter + state update in one
+    pass sharing subexpressions (the render megakernel's math) — phase-1
+    twin of ``_decisions`` + ``_bounce_smooth``, ~60 fewer ops/bounce.
+
+    Numerics: identical to the pair except the hit distance, which here is
+    the scan's ``best_t`` (sqrt clamped at 0) where the smooth map recomputes
+    it from the winner payload (clamped at 1e-12) — bit-identical whenever
+    the winner's discriminant is >= 1e-12, i.e. any non-tangent hit.
+    Returns (o', d', thr', rad, bits)."""
+    f32 = jnp.float32
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    tr, tg, tb = thr3
+    (bcx, bcy, bcz, brad, bpnx, bpny, bpnz, bpdd,
+     bar, bag, bab, brf, brg) = pay
+    ux, uy, uz = u3
+    shape = jnp.shape(ox)
+    fbool = jnp.zeros(shape, jnp.bool_)
+
+    hit = best_t < f32(1e37)
+    live_h = lv & hit
+    miss = lv & ~hit
+
+    # sky on miss (mg_ray_tracer.cpp:164)
+    ts_ = 0.5 * (dy + 1.0)
+    mf = miss.astype(f32)
+    rad = (mf * tr * (1.0 - 0.5 * ts_),
+           mf * tg * (1.0 - 0.3 * ts_),
+           mf * tb)
+
+    t_safe = jnp.where(hit, best_t, 0.0)
+    hx = ox + t_safe * dx
+    hy = oy + t_safe * dy
+    hz = oz + t_safe * dz
+    snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+    sinv = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+    ispl = bpl > 0.0
+    nx = jnp.where(ispl, bpnx, snx * sinv)
+    ny = jnp.where(ispl, bpny, sny * sinv)
+    nz = jnp.where(ispl, bpnz, snz * sinv)
+
+    # lambert (mg_ray_tracer.cpp:109-123)
+    lxr, lyr, lzr = nx + ux, ny + uy, nz + uz
+    ln2 = lxr * lxr + lyr * lyr + lzr * lzr
+    ldeg = ln2 < 1e-16
+    linv = jax.lax.rsqrt(jnp.where(ldeg, 1.0, jnp.maximum(ln2, 1e-30)))
+    ndx = jnp.where(ldeg, nx, lxr * linv)
+    ndy = jnp.where(ldeg, ny, lyr * linv)
+    ndz = jnp.where(ldeg, nz, lzr * linv)
+
+    mabs = fbool
+    is_met = fbool
+    refl_bit = fbool
+    tir = fbool
+    inside = fbool
+    is_die = fbool
+    if has_met or has_die:
+        ddot = dx * nx + dy * ny + dz * nz
+        rx = dx - 2.0 * ddot * nx
+        ry = dy - 2.0 * ddot * ny
+        rz = dz - 2.0 * ddot * nz
+    if has_met:
+        mx = rx + brg * ux
+        my = ry + brg * uy
+        mz = rz + brg * uz
+        mabs = (mx * nx + my * ny + mz * nz) <= 0.0
+        minv = jax.lax.rsqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
+        is_met = bcl == 1.0
+        ndx = jnp.where(is_met, mx * minv, ndx)
+        ndy = jnp.where(is_met, my * minv, ndy)
+        ndz = jnp.where(is_met, mz * minv, ndz)
+    if has_die:
+        inside = ddot > 0.0
+        sgn = jnp.where(inside, f32(-1.0), f32(1.0))
+        onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
+        eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+        cosine = jnp.where(inside, brf * ddot, -ddot)
+        cos_i = jnp.where(inside, ddot, -ddot)
+        sin2 = eta * eta * (1.0 - cos_i * cos_i)
+        tir = sin2 > 1.0
+        cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin2, 1e-12)))
+        cos_t = jnp.where(tir, 0.0, cos_t)
+        fxx = eta * dx + (eta * cos_i - cos_t) * onx
+        fyy = eta * dy + (eta * cos_i - cos_t) * ony
+        fzz = eta * dz + (eta * cos_i - cos_t) * onz
+        r0_ = (1.0 - brf) / (1.0 + brf)
+        r0_ = r0_ * r0_
+        omc = 1.0 - cosine
+        omc2 = omc * omc
+        prob = jnp.where(tir, 1.0, r0_ + (1.0 - r0_) * omc2 * omc2 * omc)
+        refl_bit = coin < prob
+        gx = jnp.where(refl_bit, rx, fxx)
+        gy = jnp.where(refl_bit, ry, fyy)
+        gz = jnp.where(refl_bit, rz, fzz)
+        ginv = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+        is_die = bcl == 2.0
+        ndx = jnp.where(is_die, gx * ginv, ndx)
+        ndy = jnp.where(is_die, gy * ginv, ndy)
+        ndz = jnp.where(is_die, gz * ginv, ndz)
+
+    alive = live_h & ~(is_met & mabs) if has_met else live_h
+    af = alive.astype(f32)
+    naf = 1.0 - af
+    thr_n = (tr * (naf + af * bar * brf),
+             tg * (naf + af * bag * brf),
+             tb * (naf + af * bab * brf))
+
+    lh = live_h.astype(f32)
+    nlh = 1.0 - lh
+    o_n = (nlh * ox + lh * hx, nlh * oy + lh * hy, nlh * oz + lh * hz)
+    d_n = (nlh * dx + lh * ndx, nlh * dy + lh * ndy, nlh * dz + lh * ndz)
+
+    bits = dict(hit=hit, live_h=live_h, miss=miss, alive=alive,
+                ispl=ispl, root=broot > 0.0, ldeg=ldeg,
+                mabs=mabs, refl_bit=refl_bit, tir=tir,
+                inside=inside, is_met=is_met, is_die=is_die)
+    return o_n, d_n, thr_n, rad, bits
+
+
 def _decisions(best_t, pay, bpl, broot, bcl, o3, d3, lv, u3, coin,
                has_met=True, has_die=True):
     """Decision bits from the forward values — the discrete structure pinned
@@ -698,6 +819,8 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                                 has_die=has_die)
     _decide = functools.partial(_decisions, has_met=has_met,
                                 has_die=has_die)
+    _fwdb = functools.partial(_bounce_forward, has_met=has_met,
+                              has_die=has_die)
     # Per-bounce dead-tile early-out gates (measured on v5e-1): the lean
     # stash rides the lax.cond with only 2 extra carries and wins (mono
     # rows=16 lean: 370 -> 448 Mrays/s on the headline bench); the 41-array
@@ -831,12 +954,10 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                     lv = live > 0.0
                     best_t, pay, bidx, bpl, broot, bcl = scan(
                         (ox, oy, oz), (dx, dy, dz))
-                    bits = _decide(best_t, pay, bpl, broot, bcl,
-                                      (ox, oy, oz), (dx, dy, dz), lv,
-                                      (ux, uy, uz), coin)
-                    o_n, d_n, thr_n, rad = _smooth(
+                    o_n, d_n, thr_n, rad, bits = _fwdb(
                         (ox, oy, oz), (dx, dy, dz), (tr, tg, tb),
-                        pay, (ux, uy, uz), bits)
+                        best_t, pay, bpl, broot, bcl, lv,
+                        (ux, uy, uz), coin)
                     state = (o_n[0], o_n[1], o_n[2], d_n[0], d_n[1], d_n[2],
                              thr_n[0], thr_n[1], thr_n[2],
                              bits["alive"].astype(f32),
