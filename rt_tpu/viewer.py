@@ -105,8 +105,15 @@ def interactive(
     move_speed: float = 1.5,
     turn_speed: float = 0.15,
     low_res_scale: float = 0.33,
+    confirm_reload: bool = True,
 ):
-    """Interactive terminal loop (the reference's `run()` without SDL)."""
+    """Interactive terminal loop (the reference's `run()` without SDL).
+
+    ``confirm_reload``: when the scene file changes on disk, show a
+    reload-confirmation prompt instead of reloading silently — the
+    terminal analogue of the reference's ImGui "scene file has changed,
+    reload?" dialog (main.cpp:251-263); 'y' (or 'r') reloads with the
+    camera preserved, 'n' dismisses until the next change."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -135,6 +142,7 @@ def interactive(
     mtime = os.path.getmtime(scene.path) if scene.path else None
     dirty = True
     full_quality_pending = False
+    reload_prompt = False
 
     def update_title():
         # terminal-title status line (the reference's window title carries
@@ -160,6 +168,8 @@ def interactive(
         update_title()
         print(f"[{names[r_idx]}] {scene.path or '<default>'}  "
               "wasd/space/c move, arrows look, +/- renderer, r reload, q quit")
+        if reload_prompt:
+            print("scene file has changed on disk — reload? [y/n]")
 
     with _RawTerm() as term:
         while True:
@@ -182,13 +192,17 @@ def interactive(
                     m = mtime
                 if m != mtime:
                     mtime = m
-                    try:
-                        cam = scene.camera
-                        scene = load()
-                        scene = dataclasses.replace(scene, camera=cam)
+                    if confirm_reload:
+                        reload_prompt = True
                         dirty = True
-                    except Exception as ex:
-                        print(f"error: {ex}")
+                    else:
+                        try:
+                            cam = scene.camera
+                            scene = load()
+                            scene = dataclasses.replace(scene, camera=cam)
+                            dirty = True
+                        except Exception as ex:
+                            print(f"error: {ex}")
 
             k = term.get_key()
             if k is None:
@@ -220,13 +234,17 @@ def interactive(
                 r_idx = (r_idx - 1) % len(names)
                 render = registry.all_renderers()[r_idx].create()
                 dirty = True
-            elif k == "r":
+            elif k == "r" or (reload_prompt and k in ("y", "Y")):
+                reload_prompt = False
                 try:
                     c = scene.camera
                     scene = dataclasses.replace(load(), camera=c)
                     dirty = True
                 except Exception as ex:
                     print(f"error: {ex}")
+            elif reload_prompt and k in ("n", "N"):
+                reload_prompt = False
+                dirty = True
             if moved:
                 scene = dataclasses.replace(scene, camera=cam)
                 last_move = time.monotonic()

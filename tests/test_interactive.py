@@ -87,9 +87,13 @@ def test_viewer_interactive_pty(tmp_path):
         os.write(master, b"w")
         _read_until(master, r"\[rasterizer\]", proc=proc)
 
-        # hot reload via mtime poll: rewrite the scene, expect a redraw
+        # hot reload via mtime poll: the change raises a confirmation
+        # prompt (the ImGui "reload?" dialog analogue, main.cpp:251-263);
+        # 'y' reloads with the camera preserved
         scene_file.write_text(SCENE.replace("'red'", "'blue'"))
         os.utime(scene_file, (time.time() + 2, time.time() + 2))
+        _read_until(master, r"reload\? \[y/n\]", timeout=30, proc=proc)
+        os.write(master, b"y")
         _read_until(master, r"\[rasterizer\].*scene\.toml", timeout=30,
                     proc=proc)
 
