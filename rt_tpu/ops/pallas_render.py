@@ -5,12 +5,14 @@ intermediate through HBM; at ~3 KFLOP/ray the render is bandwidth- and
 launch-bound.  This kernel keeps *everything* in VMEM/registers: each grid
 step owns a (ROWS, 128) tile of pixels and runs raygen → bounce loop →
 sample accumulation → gamma entirely on-chip.  HBM traffic is one float3
-per pixel — speed-of-light for this workload (measured 1164 Mrays/s
-sustained on v5e-1 through :func:`make_render_step`, 1.65 ms per
-800x600@4spp frame, vs ~54 Mrays/s for the jnp path and ~37 Mrays/s for
-the reference's CPU renderer re-implemented in C++ with -march=native;
-the per-call :func:`render_forward_pallas` wrapper adds ~25-30 ms of
-host->device upload round trips through the remote tunnel).
+per pixel — speed-of-light for this workload (measured 1420 Mrays/s
+sustained on v5e-1 through :func:`make_render_step` with class
+specialization, 1.35 ms per 800x600@4spp frame — round 1 measured 1164
+before specialization — vs ~54 Mrays/s for the jnp path and ~37 Mrays/s
+for the reference's CPU renderer re-implemented in C++ with
+-march=native; the per-call :func:`render_forward_pallas` wrapper adds
+~25-30 ms of host->device upload round trips through the remote
+tunnel).
 
 Design notes:
 
