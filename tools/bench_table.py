@@ -77,10 +77,11 @@ def main():
 
     # --- config 2: basic 800x600 @ 16spp d8 fwd + fwd/bwd -------------------
     spp2 = 4 if args.fast else 16
-    t, _ = timeit(lambda i: render_forward_pallas(
-        s, (800, 600), seed=i, spp=spp2, max_bounces=8))
+    step2 = make_render_step(s, (800, 600), spp=spp2, max_bounces=8)
+    t = sustained(step2, iters=16)
     rows.append((f"2: basic 800x600 @{spp2}spp d8 fwd",
-                 f"{800*600*spp2/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms)"))
+                 f"{800*600*spp2/t/1e6:.0f} Mrays/s sustained "
+                 f"({t*1e3:.1f} ms/frame)"))
 
     params = diff.extract_params(s)
     target = jnp.zeros((600, 800, 3), jnp.float32)
@@ -92,11 +93,12 @@ def main():
     # --- config 3: dielectric 800x600 @ 64spp sm ----------------------------
     d = rt_tpu.load("scenes/dielectric.toml")
     spp3 = 8 if args.fast else 64
-    t, _ = timeit(lambda i: render_forward_pallas(
-        d, (800, 600), seed=i, spp=spp3, max_bounces=8, personality="sm"),
-        reps=2)
+    step3 = make_render_step(d, (800, 600), spp=spp3, max_bounces=8,
+                             personality="sm")
+    t = sustained(step3, iters=8)
     rows.append((f"3: dielectric 800x600 @{spp3}spp d8 fwd (sm)",
-                 f"{800*600*spp3/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms)"))
+                 f"{800*600*spp3/t/1e6:.0f} Mrays/s sustained "
+                 f"({t*1e3:.1f} ms/frame)"))
 
     # --- config 3: Fresnel/refraction + camera-pose gradients ---------------
     dparams = diff.extract_params(d)

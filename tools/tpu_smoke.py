@@ -88,8 +88,32 @@ def main():
     failures += not ok
     print(f"[{'ok ' if ok else 'FAIL'}] 700-sphere blockwise: mean {bw.mean():.4f}")
 
-    # throughput headline
+    # fused fwd+bwd (default mono+lean pipeline): FD check on a smooth
+    # parameter through the kernel's own loss (same seed -> same draws)
+    import jax.numpy as jnp
+
+    from rt_tpu import diff
+    from rt_tpu.ops.pallas_grad import pallas_mse_loss_and_grad
+
     s = rt_tpu.load("scenes/basic.toml")
+    params = diff.extract_params(s)
+    small = (200, 150)
+    tgt = jnp.zeros((small[1], small[0], 3), jnp.float32)
+    kw = dict(spp=2, max_bounces=4, seed=17)
+    _, g0 = pallas_mse_loss_and_grad(params, s, tgt, small, **kw)
+    eps = 1e-3
+    name = "materials.reflectivity"
+    p_hi = dict(params); p_hi[name] = params[name].at[0].set(params[name][0] + eps)
+    p_lo = dict(params); p_lo[name] = params[name].at[0].set(params[name][0] - eps)
+    l_hi, _ = pallas_mse_loss_and_grad(p_hi, s, tgt, small, **kw)
+    l_lo, _ = pallas_mse_loss_and_grad(p_lo, s, tgt, small, **kw)
+    fd = (float(l_hi) - float(l_lo)) / (2 * eps)
+    an = float(g0[name][0])
+    ok = abs(an - fd) <= max(2e-2 * abs(fd), 1e-4)
+    failures += not ok
+    print(f"[{'ok ' if ok else 'FAIL'}] fused grad FD: an {an:.6f} fd {fd:.6f}")
+
+    # throughput headline
     img = render_forward_pallas(s, (800, 600), seed=2, spp=4, max_bounces=8)
     jax.block_until_ready(img)
     iters = 5 if args.quick else 20
