@@ -46,7 +46,7 @@ def look_rotation(direction: jax.Array, world_up: jax.Array = _WORLD_UP) -> jax.
     f = direction / jnp.linalg.norm(direction)
     # Branchless degenerate handling: if f is (anti)parallel to world_up,
     # use the z axis as the reference "up" instead.
-    parallel = jnp.abs(jnp.dot(f, world_up)) > 0.999999
+    parallel = jnp.abs(jnp.dot(f, world_up, precision="highest")) > 0.999999
     ref_up = jnp.where(parallel, jnp.array([0.0, 0.0, 1.0], dtype=f.dtype), world_up)
     # Conventional lookAt basis: right = normalize(cross(f, up)); for
     # f=(0,0,-1), up=(0,1,0) this yields +x, i.e. screen-right.
@@ -75,13 +75,16 @@ def _axis_angle(axis: jax.Array, angle) -> jax.Array:
 
 def rotate_yaw(rotation: jax.Array, angle) -> jax.Array:
     """Yaw about the *world* up axis (camera.hpp:80-84)."""
-    return _axis_angle(_WORLD_UP, angle) @ rotation
+    return jnp.matmul(_axis_angle(_WORLD_UP, angle), rotation,
+                      precision="highest")
 
 
 def rotate_pitch(rotation: jax.Array, angle) -> jax.Array:
     """Pitch about the camera's current right axis (camera.hpp:86-91)."""
-    right = rotation @ jnp.array([1.0, 0.0, 0.0], dtype=jnp.float32)
-    return _axis_angle(right, angle) @ rotation
+    right = jnp.matmul(rotation, jnp.array([1.0, 0.0, 0.0], jnp.float32),
+                       precision="highest")
+    return jnp.matmul(_axis_angle(right, angle), rotation,
+                      precision="highest")
 
 
 def generate_rays(camera, size: tuple[int, int], pixel_pos: jax.Array):
@@ -106,7 +109,10 @@ def generate_rays(camera, size: tuple[int, int], pixel_pos: jax.Array):
     ny = 1.0 - 2.0 * (pixel_pos[..., 1] / h)
     # View-space direction through the pixel (camera looks down -z).
     d_view = jnp.stack([nx * th * aspect, ny * th, -jnp.ones_like(nx)], axis=-1)
-    d_world = d_view @ camera.rotation.T  # R @ d, batched
+    # R @ d, batched.  precision="highest": TPU f32 matmuls default to
+    # bf16 passes — a 1e-3 direction error that flips hit decisions
+    # (the Pallas kernels use explicit mul-adds and stay full f32)
+    d_world = jnp.matmul(d_view, camera.rotation.T, precision="highest")
     origins = camera.position + d_world * camera.near
     directions = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
     return origins, directions
@@ -132,8 +138,8 @@ def view_projection(camera, size: tuple[int, int]) -> jax.Array:
     t = camera.position
     view = jnp.eye(4, dtype=jnp.float32)
     view = view.at[:3, :3].set(R.T)
-    view = view.at[:3, 3].set(-(R.T @ t))
-    return proj @ view
+    view = view.at[:3, 3].set(-jnp.matmul(R.T, t, precision="highest"))
+    return jnp.matmul(proj, view, precision="highest")
 
 
 def world_to_screen(camera, size: tuple[int, int], world_pos: jax.Array):
@@ -141,7 +147,7 @@ def world_to_screen(camera, size: tuple[int, int], world_pos: jax.Array):
     (camera.hpp:21-39).  Returns ((..., 2) pixels, (...,) depth)."""
     vp = view_projection(camera, size)
     p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
-    clip = p @ vp.T
+    clip = jnp.matmul(p, vp.T, precision="highest")
     wcoord = clip[..., 3:4]
     ndc = jnp.where(wcoord != 0.0, clip / wcoord, clip)
     w, h = size
@@ -164,5 +170,5 @@ def screen_to_world(camera, size: tuple[int, int], pixel_pos: jax.Array, depth) 
     # (the cancellation-free form of near*far / (far - d*(far-near))).
     depth = jnp.asarray(depth, jnp.float32)
     z = camera.near * camera.far / ((1.0 - depth) * camera.far + depth * camera.near)
-    d_world = d_view @ camera.rotation.T
+    d_world = jnp.matmul(d_view, camera.rotation.T, precision="highest")
     return camera.position + d_world * z[..., None]

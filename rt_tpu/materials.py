@@ -94,9 +94,14 @@ def scatter(
     instead of a scatter-add."""
     m = materials.albedo.shape[0]
     mat_onehot = jax.nn.one_hot(mat_idx, m, dtype=jnp.float32)  # (N, M)
-    albedo = (mat_onehot @ materials.albedo)[:, :3]             # (N, 3)
-    roughness = (mat_onehot @ materials.roughness)[:, None]     # (N, 1)
-    refl = mat_onehot @ materials.reflectivity                  # (N,)
+    # precision="highest": exact one-hot fetch (bf16 passes would round
+    # the fetched f32 payload values on TPU)
+    albedo = jnp.matmul(mat_onehot, materials.albedo,
+                        precision="highest")[:, :3]              # (N, 3)
+    roughness = jnp.matmul(mat_onehot, materials.roughness,
+                           precision="highest")[:, None]         # (N, 1)
+    refl = jnp.matmul(mat_onehot, materials.reflectivity,
+                      precision="highest")                       # (N,)
 
     # Shared attenuation formula: albedo * reflectivity
     # (mg_ray_tracer.cpp:115,131; sm_ray_tracer.cpp:194).

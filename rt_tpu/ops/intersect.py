@@ -115,8 +115,11 @@ def hit_spheres(origins, dirs, centers, radii, count, *, min_dist=MIN_HIT_DIST):
 def plane_t_matrix(origins, dirs, normals, ds, count, *, min_dist=MIN_HIT_DIST):
     """(N, P) per-pair plane hit distances (double-sided).  n·x + d = 0 →
     t = -(n·o + d) / (n·dir)."""
-    ndotd = dirs @ normals.T                                 # (N, P)
-    ndoto = origins @ normals.T + ds[None, :]                # (N, P)
+    # precision="highest": TPU f32 matmuls default to bf16 passes — the
+    # resulting 1e-3 error flips hit/tie decisions on grazing planes
+    ndotd = jnp.matmul(dirs, normals.T, precision="highest")   # (N, P)
+    ndoto = jnp.matmul(origins, normals.T,
+                       precision="highest") + ds[None, :]      # (N, P)
     safe = jnp.where(jnp.abs(ndotd) > 1e-12, ndotd, 1.0)
     t = -ndoto / safe
     valid = (jnp.abs(ndotd) > 1e-12) & (t >= min_dist) & _count_mask(normals.shape[0], count)[None, :]
@@ -179,7 +182,8 @@ def sphere_stage(spheres, origins, dirs, *, min_dist: float = MIN_HIT_DIST):
     # a where() still poisons gradients.
     t_safe = jnp.minimum(ts, 1e30)
     hit_p = origins + t_safe[:, None] * dirs
-    center_w = onehot @ spheres.center                       # (N, 3)
+    center_w = jnp.matmul(onehot, spheres.center,
+                          precision="highest")                 # (N, 3)
     n = safe_normalize(hit_p - center_w)
     root_lo = jnp.sum(jnp.where(onehot > 0, root_lo_m, False), axis=-1).astype(bool)
     return ts, n, spheres.material[is_], is_.astype(jnp.int32), root_lo
@@ -247,7 +251,8 @@ def closest_hit(
 
     # Normals & material ids by winner class (one-hot contraction for the
     # float normal, integer gather for the material id).
-    plane_n = p_onehot @ planes.normal
+    plane_n = jnp.matmul(p_onehot, planes.normal,
+                         precision="highest")
     if include_boxes and boxes.count > 0:
         if box_normals_up:
             box_n = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], jnp.float32), (n, 3))

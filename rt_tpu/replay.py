@@ -150,8 +150,10 @@ def replay_radiance(
         # --- differentiable hit for the recorded primitive ---------------
         s_onehot = jax.nn.one_hot(jnp.where(is_sphere, r.idx, 0), S, dtype=jnp.float32)
         s_onehot = s_onehot * is_sphere[:, None]
-        c = s_onehot @ scene.spheres.center                 # (N, 3)
-        radius = s_onehot @ scene.spheres.radius            # (N,)
+        c = jnp.matmul(s_onehot, scene.spheres.center,
+                       precision="highest")                  # (N, 3)
+        radius = jnp.matmul(s_onehot, scene.spheres.radius,
+                            precision="highest")             # (N,)
         oc = o - c
         bq = jnp.sum(oc * d, axis=-1)
         c0 = jnp.sum(oc * oc, axis=-1) - radius * radius
@@ -162,8 +164,10 @@ def replay_radiance(
 
         p_onehot = jax.nn.one_hot(jnp.where(is_plane, r.idx, 0), P, dtype=jnp.float32)
         p_onehot = p_onehot * is_plane[:, None]
-        pn = p_onehot @ scene.planes.normal                 # (N, 3)
-        pd = p_onehot @ scene.planes.d                      # (N,)
+        pn = jnp.matmul(p_onehot, scene.planes.normal,
+                        precision="highest")                 # (N, 3)
+        pd = jnp.matmul(p_onehot, scene.planes.d,
+                        precision="highest")                 # (N,)
         ndotd = jnp.sum(pn * d, axis=-1)
         safe_dd = jnp.where(jnp.abs(ndotd) > 1e-12, ndotd, 1.0)
         t_p = -(jnp.sum(pn * o, axis=-1) + pd) / safe_dd
