@@ -305,3 +305,50 @@ def test_interpret_fused_grad_dielectric_personality():
         scale = max(np.abs(b).max(), 1e-6)
         np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-3,
                                    err_msg=k)
+
+
+def test_fused_step_auto_routing(monkeypatch):
+    # the entry points pick kernel mode/stash automatically: mono+lean by
+    # default, multi past the 96-prim payload cap or when the mono VMEM
+    # stash (spp x bounces) would blow the scoped budget, eager overrides
+    # the lean default.  Assert the routing without compiling kernels.
+    import rt_tpu.ops.pallas_grad as pg
+    from rt_tpu import diff
+
+    calls = []
+
+    def fake_mono(*a, residuals="recompute", **kw):
+        calls.append(("mono", kw.get("lean"), residuals))
+        return lambda cam, seed, tgt: (0.0, {})
+
+    def fake_multi(*a, **kw):
+        calls.append(("multi", kw.get("lean"), None))
+        return lambda cam, seed, tgt: (0.0, {})
+
+    monkeypatch.setattr(pg, "_compiled_pipeline_mono", fake_mono)
+    monkeypatch.setattr(pg, "_compiled_pipeline", fake_multi)
+    monkeypatch.setattr(pg, "_target_blocks", lambda *a: None)
+
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    params = diff.extract_params(s)
+    tgt = jnp.zeros((8, 16, 3), jnp.float32)
+
+    pg.make_mse_step(params, s, tgt, (16, 8), spp=4, max_bounces=8)
+    assert calls[-1] == ("mono", True, "recompute")       # default
+
+    pg.make_mse_step(params, s, tgt, (16, 8), spp=64, max_bounces=8)
+    assert calls[-1][0] == "multi"                        # spp gate
+
+    pg.make_mse_step(params, s, tgt, (16, 8), spp=2, max_bounces=8,
+                     residuals="eager")
+    assert calls[-1] == ("mono", False, "eager")          # eager wins
+
+    big = rt_tpu.scene.make_procedural_scene(200, seed=1)
+    bp = diff.extract_params(big)
+    pg.make_mse_step(bp, big, tgt, (16, 8), spp=2, max_bounces=4)
+    assert calls[-1] == ("multi", True, None)             # prim-cap gate
+
+    too_big = rt_tpu.scene.make_procedural_scene(700, seed=1)
+    with pytest.raises(ValueError):
+        pg.make_mse_step(diff.extract_params(too_big), too_big, tgt,
+                         (16, 8), spp=2, max_bounces=4)
