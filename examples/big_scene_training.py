@@ -53,8 +53,11 @@ def main():
     # target = render with the true albedos; start from gray
     from rt_tpu.ops.pallas_blockwise import render_forward_blockwise
 
+    # gamma=False: every gradient pipeline optimizes PRE-gamma radiance
+    # (rt_tpu.diff docstring — sqrt gamma has an infinite derivative at 0),
+    # so targets must be rendered pre-gamma too
     target = render_forward_blockwise(
-        scene, (w, h), seed=0, spp=args.spp, max_bounces=4,
+        scene, (w, h), seed=0, spp=args.spp, max_bounces=4, gamma=False,
         rng_impl="hash" if args.cpu else "hw", interpret=args.cpu,
     )
     params = {"materials.albedo": jnp.full_like(true_albedo, 0.5)}
@@ -76,9 +79,26 @@ def main():
             print(f"step {i:4d}  loss {float(loss):.6f}")
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / args.steps
-    err0 = float(jnp.abs(jnp.full_like(true_albedo, 0.5) - true_albedo).mean())
-    err1 = float(jnp.abs(params["materials.albedo"] - true_albedo).mean())
-    print(f"{dt * 1e3:.1f} ms/step; mean albedo error {err0:.4f} -> {err1:.4f}")
+    # the inverse problem is under-constrained at demo sizes (some of the
+    # 12 materials barely appear in the image), so albedo recovery is not
+    # the right success metric — image-space error against a held-out
+    # render (fresh seed) is what the loss actually optimizes
+    import dataclasses
+
+    def render_with(albedo, seed):
+        sc = dataclasses.replace(
+            scene, materials=dataclasses.replace(scene.materials,
+                                                 albedo=albedo))
+        return render_forward_blockwise(
+            sc, (w, h), seed=seed, spp=args.spp, max_bounces=4, gamma=False,
+            rng_impl="hash" if args.cpu else "hw", interpret=args.cpu)
+
+    holdout = render_with(true_albedo, seed=12345)
+    img0 = render_with(jnp.full_like(true_albedo, 0.5), seed=12345)
+    img1 = render_with(params["materials.albedo"], seed=12345)
+    e0 = float(jnp.abs(img0 - holdout).mean())
+    e1 = float(jnp.abs(img1 - holdout).mean())
+    print(f"{dt * 1e3:.1f} ms/step; held-out image MAE {e0:.4f} -> {e1:.4f}")
 
 
 if __name__ == "__main__":

@@ -771,6 +771,10 @@ def make_bw_train_step(
     """Fully-jitted big-scene optimization step:
     ``step(params, opt_state, seed) -> (params, opt_state, loss)``.
 
+    ``target`` must be a PRE-gamma radiance image (render targets with
+    ``gamma=False``): the MSE compares the kernels' pre-gamma mean — the
+    convention shared by every gradient pipeline (rt_tpu.diff docstring).
+
     Tables are rebuilt from the traced parameters on-device every step and
     fed to the blockwise fwd+bwd kernels, so an entire optax loop runs at
     kernel speed with zero recompiles — the thing the baked-constant
