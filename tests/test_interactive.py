@@ -92,14 +92,14 @@ def test_viewer_interactive_pty(tmp_path):
         # 'y' reloads with the camera preserved
         scene_file.write_text(SCENE.replace("'red'", "'blue'"))
         os.utime(scene_file, (time.time() + 2, time.time() + 2))
-        _read_until(master, r"reload\? \[y/n\]", timeout=30, proc=proc)
+        _read_until(master, r"reload\? \[y/n\]", timeout=120, proc=proc)
         os.write(master, b"y")
-        _read_until(master, r"\[rasterizer\].*scene\.toml", timeout=30,
+        _read_until(master, r"\[rasterizer\].*scene\.toml", timeout=120,
                     proc=proc)
 
         # 'r' reload, let the redraw land, then quit
         os.write(master, b"r")
-        _read_until(master, r"\[rasterizer\]", timeout=30, proc=proc)
+        _read_until(master, r"\[rasterizer\]", timeout=120, proc=proc)
         time.sleep(0.5)
         os.write(master, b"q")
         _read_until(master, r"bye", proc=proc)
@@ -138,14 +138,14 @@ def test_cli_watch_rerenders(tmp_path):
         # a broken edit: error logged, previous scene kept, no exit
         scene_file.write_text("materials = [ { type = 'nope' } ]\n")
         os.utime(scene_file, (time.time() + 2, time.time() + 2))
-        _read_until(fd, r"error:.*material_type", timeout=30)
+        _read_until(fd, r"error:.*material_type", timeout=120)
         assert proc.poll() is None
 
         # a good edit: automatic re-render to the same output file
         scene_file.write_text(SCENE.replace("0.5", "0.7"))
         os.utime(scene_file, (time.time() + 4, time.time() + 4))
-        _read_until(fd, r"reloaded", timeout=30)
-        _read_until(fd, r"rendered 32x24", timeout=60)
+        _read_until(fd, r"reloaded", timeout=120)
+        _read_until(fd, r"rendered 32x24", timeout=180)
         # the PNG write lands after the "rendered" log line; poll rather
         # than sleep a fixed amount (the full suite loads the machine)
         deadline = time.time() + 15

@@ -55,14 +55,21 @@ def main():
     def sustained(step, iters=32):
         """Pipelined steady-state rate (the per-call wrapper pays a
         25-50 ms host->TPU tunnel round trip per blocked call; interactive
-        and serving loops run through prebuilt steps)."""
+        and serving loops run through prebuilt steps).  Dispatch warm-up
+        through the tunnel is slow to settle — run a warm window, then
+        report the best of two timed windows."""
         out = step(0)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = step(i)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
+        best = None
+        for w in range(3):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                out = step(i)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / iters
+            if w:  # window 0 is warm-up
+                best = dt if best is None else min(best, dt)
+        return best
 
     # --- config 1: basic 200x150 @ 1spp d4, parity posture ------------------
     s = rt_tpu.load("scenes/basic.toml")
