@@ -60,7 +60,7 @@ def main():
         report the best of two timed windows."""
         out = step(0)
         jax.block_until_ready(out)
-        best = None
+        windows = []
         for w in range(3):
             t0 = time.perf_counter()
             for i in range(iters):
@@ -68,8 +68,11 @@ def main():
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / iters
             if w:  # window 0 is warm-up
-                best = dt if best is None else min(best, dt)
-        return best
+                windows.append(dt)
+        # artifact guard: a window reading >3x faster than its sibling is a
+        # runtime hiccup (observed once: 0.2 ms for a 9 ms step), not perf
+        lo, hi = min(windows), max(windows)
+        return lo if lo * 3 > hi else hi
 
     # --- config 1: basic 200x150 @ 1spp d4, parity posture ------------------
     s = rt_tpu.load("scenes/basic.toml")
