@@ -793,7 +793,8 @@ def _decisions(best_t, pay, bpl, broot, bcl, o3, d3, lv, u3, coin,
 
 
 def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
-                      rows, rng_mode, rng_impl, lean, residuals="recompute"):
+                      rows, rng_mode, rng_impl, lean, residuals="recompute",
+                      dbg=(), tune=()):
     """One kernel = one full MSE training step over all spp samples.
 
     ``residuals="eager"`` (requires ``lean=False``): take the per-bounce
@@ -802,7 +803,30 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
     the transpose only, skipping the per-bounce primal recompute (~40% of
     reverse-sweep ops) at the price of a larger VMEM footprint.  The default
     stashes inputs only and lets the vjp recompute the primal (manual
-    rematerialisation), which is what fits bigger tiles."""
+    rematerialisation), which is what fits bigger tiles.
+
+    ``dbg``: measurement-only cost-split knobs (WRONG gradients for the
+    skipped part).  "skip_reverse" drops phase 3 entirely (forward sweeps +
+    stash + loss only; the stash is kept alive through an anchor sum so DCE
+    can't delete it), "skip_prim" keeps the reverse vjp transposes but drops
+    the per-primitive accumulation.
+
+    ``tune``: semantics-preserving layout/scheduling switches (gradients
+    identical, speed differs):
+
+    * "acc_outside" — keep the per-primitive gradient accumulators OUT of
+      the reverse early-out ``lax.cond``: the cond returns the winner
+      cotangents (13 arrays) + attribution masks and the masked
+      accumulation runs unconditionally after it.  The round-3 cost split
+      on v5e-1 (800x600 @ 4spp d8 basic) measured the accumulator carries
+      as ~88% of the reverse cost (1.41 of 1.60 ms) — the cond's carry
+      copies of 9*(S+P) wide running sums swamp the ~0.18 ms vjp transpose.
+    * "fwd_dense" / "rev_dense" — drop the per-bounce dead-tile lax.cond
+      in the forward / reverse sweep (measurement + fallback)."""
+    dbg_skip_reverse = "skip_reverse" in dbg
+    dbg_skip_prim = "skip_prim" in dbg
+    assert not dbg_skip_reverse or lean, "dbg skip_reverse supports lean only"
+    acc_outside = "acc_outside" in tune
     n_spheres = s_cols.shape[1]
     n_planes = p_cols.shape[1]
     f32 = jnp.float32
@@ -825,11 +849,13 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
     # stash rides the lax.cond with only 2 extra carries and wins (mono
     # rows=16 lean: 370 -> 448 Mrays/s on the headline bench); the 41-array
     # payload stash as cond carries blows the 16 MiB scoped-VMEM limit, and
-    # eager's vjp closures cannot cross a cond — both stay dense.  The
-    # reverse cond carries the per-primitive accumulators, so it is also
-    # gated on primitive count.
-    fwd_eo = lean
-    rev_eo = lean and (n_spheres + n_planes) <= 32
+    # eager's vjp closures cannot cross a cond — both stay dense.  With
+    # "acc_outside" the reverse cond no longer carries the per-primitive
+    # accumulators, so its prim-count gate only guards the 13-array winner
+    # cotangent output.
+    fwd_eo = lean and "fwd_dense" not in tune
+    rev_eo = (lean and "rev_dense" not in tune
+              and (acc_outside or (n_spheres + n_planes) <= 32))
     # wide per-primitive accumulators: (rows,128) running sums per
     # (slot, primitive) — gate on VMEM footprint
     wide = (9 * (n_spheres + n_planes) * rows * 128 * 4) <= (2 << 20)
@@ -1026,7 +1052,7 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
 
         cam_tot = None
 
-        for s in range(spp):
+        for s in (() if dbg_skip_reverse else range(spp)):
             stash = sample_stash[s]
             co = [zero, zero, zero]
             cd = [zero, zero, zero]
@@ -1034,11 +1060,9 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
             for b in reversed(range(max_bounces)):
                 st = stash[b]
 
-                def rev_body(carry, st=st):
-                    co = list(carry[0:3])
-                    cd = list(carry[3:6])
-                    ct = list(carry[6:9])
-                    accs = list(carry[9:])
+                def rebuild_vjp(co, cd, ct, st=st):
+                    """Payload rebuild (lean) + smooth-map vjp transpose.
+                    Returns (co', cd', ct', pay_cot, live_h_f, bidx, bplf)."""
                     if lean:
                         packed = st["packed"]
                         rbits = {name: ((packed >> k) & 1) > 0
@@ -1095,11 +1119,17 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                                  (ct[0], ct[1], ct[2]),
                                  (cot[0], cot[1], cot[2])))
                     (co_p, cd_p, ct_p, pay_cot) = cots
+                    return (co_p, cd_p, ct_p, pay_cot,
+                            stl["bits"]["live_h"].astype(f32),
+                            stl["bidx"], stl["bpl"])
 
-                    is_sph = ~(stl["bpl"] > 0.0)
-                    live_h = stl["bits"]["live_h"]
+                def accumulate(accs, pay_cot, live_h_f, bidx, bplf):
+                    accs = list(accs)
+                    live_h = live_h_f > 0.0
+                    sph_live = ~(bplf > 0.0) & live_h
+                    pl_live = (bplf > 0.0) & live_h
                     for si in range(n_spheres):
-                        m = (stl["bidx"] == f32(si)) & is_sph & live_h
+                        m = (bidx == f32(si)) & sph_live
                         for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
                             if wide:
                                 accs[s_pos(k, si)] = accs[s_pos(k, si)] + \
@@ -1109,7 +1139,7 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                                     jnp.sum(m.astype(f32) * pay_cot[cslot],
                                             axis=0, keepdims=True)
                     for pi in range(n_planes):
-                        m = (stl["bidx"] == f32(pi)) & (stl["bpl"] > 0.0) & live_h
+                        m = (bidx == f32(pi)) & pl_live
                         for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
                             if wide:
                                 accs[p_pos(k, pi)] = accs[p_pos(k, pi)] + \
@@ -1118,26 +1148,74 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                                 accs[p_pos(k, pi)] = accs[p_pos(k, pi)] + \
                                     jnp.sum(m.astype(f32) * pay_cot[cslot],
                                             axis=0, keepdims=True)
-                    return (tuple(co_p) + tuple(cd_p) + tuple(ct_p)
-                            + tuple(accs))
+                    return accs
 
-                carry = (tuple(co) + tuple(cd) + tuple(ct) + tuple(accs))
-                out = (rev_body(carry) if not rev_eo else
-                       jax.lax.cond(st["anyl"], rev_body,
-                                    lambda c: tuple(c), carry))
-                co = list(out[0:3])
-                cd = list(out[3:6])
-                ct = list(out[6:9])
-                accs = list(out[9:])
+                if acc_outside:
+                    # the cond returns only the winner cotangents +
+                    # attribution masks; the running per-primitive sums
+                    # never ride a cond carry (the round-3 profile's 88%)
+                    def rev_core(carry, st=st):
+                        co_p, cd_p, ct_p, pay_cot, lhf, bidx, bplf = \
+                            rebuild_vjp(carry[0:3], carry[3:6], carry[6:9],
+                                        st=st)
+                        return (tuple(co_p) + tuple(cd_p) + tuple(ct_p)
+                                + tuple(pay_cot) + (lhf, bidx, bplf))
+
+                    def rev_skip(carry):
+                        return tuple(carry) + tuple([zero] * 16)
+
+                    carry = tuple(co) + tuple(cd) + tuple(ct)
+                    out = (rev_core(carry) if not rev_eo else
+                           jax.lax.cond(st["anyl"], rev_core, rev_skip,
+                                        carry))
+                    co = list(out[0:3])
+                    cd = list(out[3:6])
+                    ct = list(out[6:9])
+                    if not dbg_skip_prim:
+                        accs = accumulate(accs, out[9:22], out[22], out[23],
+                                          out[24])
+                else:
+                    def rev_body(carry, st=st):
+                        accs_l = list(carry[9:])
+                        co_p, cd_p, ct_p, pay_cot, lhf, bidx, bplf = \
+                            rebuild_vjp(carry[0:3], carry[3:6], carry[6:9],
+                                        st=st)
+                        if not dbg_skip_prim:
+                            accs_l = accumulate(accs_l, pay_cot, lhf, bidx,
+                                                bplf)
+                        return (tuple(co_p) + tuple(cd_p) + tuple(ct_p)
+                                + tuple(accs_l))
+
+                    carry = (tuple(co) + tuple(cd) + tuple(ct) + tuple(accs))
+                    out = (rev_body(carry) if not rev_eo else
+                           jax.lax.cond(st["anyl"], rev_body,
+                                        lambda c: tuple(c), carry))
+                    co = list(out[0:3])
+                    cd = list(out[3:6])
+                    ct = list(out[6:9])
+                    accs = list(out[9:])
 
             (cam_cot,) = raygen_vjps[s]((co[0], co[1], co[2],
                                          cd[0], cd[1], cd[2]))
             cam_tot = list(cam_cot) if cam_tot is None else [
                 a + b for a, b in zip(cam_tot, cam_cot)]
 
-        for i in range(15):
-            cg_ref[0, 0, i] = cam_tot[i]
-        cg_ref[0, 0, 15] = f32(0.0)
+        if dbg_skip_reverse:
+            # keep the forward stash alive (DCE would otherwise delete the
+            # packing work phase 3 normally consumes)
+            anchor = zero
+            for s in range(spp):
+                for st in sample_stash[s]:
+                    anchor = anchor + st["packed"].astype(f32) + st["bidx"]
+                    for a3 in (st["o"], st["d"], st["thr"], st["u"]):
+                        anchor = anchor + a3[0] + a3[1] + a3[2]
+            cg_ref[0, 0, 0] = jnp.sum(anchor)
+            for i in range(1, 16):
+                cg_ref[0, 0, i] = f32(0.0)
+        else:
+            for i in range(15):
+                cg_ref[0, 0, i] = cam_tot[i]
+            cg_ref[0, 0, 15] = f32(0.0)
         for k in range(9):
             for si in range(S_pad):
                 sg_ref[0, k, si] = (jnp.sum(accs[s_pos(k, si)])
@@ -1152,13 +1230,14 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
 @functools.lru_cache(maxsize=16)
 def _compiled_mono(scene_bytes, shapes, *, width, height, spp, max_bounces,
                    rows, rng_mode, rng_impl, lean, interpret,
-                   residuals="recompute"):
+                   residuals="recompute", dbg=(), tune=()):
     s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
     p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
     kernel = _make_mono_kernel(
         s_cols, p_cols, width=width, height=height, spp=spp,
         max_bounces=max_bounces, rows=rows, rng_mode=rng_mode,
-        rng_impl=rng_impl, lean=lean, residuals=residuals,
+        rng_impl=rng_impl, lean=lean, residuals=residuals, dbg=dbg,
+        tune=tune,
     )
     n = width * height
     n_tiles = -(-n // (rows * 128))
@@ -1256,6 +1335,7 @@ def pallas_mse_loss_and_grad(
     interpret: bool = False,
     mode: str = "mono",
     residuals: str = "recompute",
+    tune: tuple = (),
 ):
     """MSE loss + scene-parameter gradients, everything on-chip.
 
@@ -1312,7 +1392,8 @@ def pallas_mse_loss_and_grad(
         bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
     )
     if mode == "mono":
-        run = _compiled_pipeline_mono(*key_args, residuals=residuals, **common)
+        run = _compiled_pipeline_mono(*key_args, residuals=residuals,
+                                      tune=tune, **common)
         target_dev = _target_blocks(target, w, h, rows)
     else:
         run = _compiled_pipeline(*key_args, fwd_rows=fwd_rows, **common)
@@ -1346,6 +1427,7 @@ def make_mse_step(
     mode: str = "mono",
     residuals: str = "recompute",
     dbg: tuple = (),
+    tune: tuple = (),
 ):
     """Prebuilt fwd+bwd step: ``step(seed) -> (loss, grads)``.
 
@@ -1404,7 +1486,8 @@ def make_mse_step(
         bytes(np.asarray(concrete.planes.material, np.int32)[:concrete.planes.count]),
     )
     if mode == "mono":
-        run = _compiled_pipeline_mono(*key_args, residuals=residuals, **common)
+        run = _compiled_pipeline_mono(*key_args, residuals=residuals,
+                                      dbg=dbg, tune=tune, **common)
         target_dev = _target_blocks(target, w, h, rows)
     else:
         run = _compiled_pipeline(*key_args, fwd_rows=fwd_rows, dbg=dbg,
@@ -1540,7 +1623,7 @@ def _assemble_grads(sg_total, pg_total, cg_total, s_mat, p_mat,
 def _compiled_pipeline_mono(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
                             width, height, spp, max_bounces, rows, rng_mode,
                             S_table, M_table, lean=False, rng_impl="hw",
-                            interpret=False, residuals="recompute"):
+                            interpret=False, residuals="recompute", dbg=(), tune=()):
     """One jitted dispatch around the mono kernel: seeds + tile sums +
     gradient assembly (the kernel itself does everything else)."""
     n = width * height
@@ -1550,7 +1633,8 @@ def _compiled_pipeline_mono(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
     call = _compiled_mono(scene_bytes, shapes, width=width, height=height,
                           spp=spp, max_bounces=max_bounces, rows=rows,
                           rng_mode=rng_mode, rng_impl=rng_impl, lean=lean,
-                          interpret=interpret, residuals=residuals)
+                          interpret=interpret, residuals=residuals, dbg=dbg,
+                          tune=tune)
 
     @jax.jit
     def run(cam, seed0, target_blocks):

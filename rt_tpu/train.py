@@ -115,10 +115,16 @@ def save_checkpoint(path: str, params, opt_state, step: int) -> None:
     except Exception:
         import numpy as np
 
+        # the fallback must carry the optimizer state too — an Adam run
+        # resumed without its moments silently restarts them (round-2
+        # VERDICT item 7).  Leaves are saved positionally; the restoring
+        # side rebuilds the pytree from opt_state_like's treedef.
+        opt_leaves = jax.tree_util.tree_leaves(opt_state)
         np.savez(
             os.path.join(path, f"step_{step}.npz"),
             step=step,
             **{k.replace(".", "__"): np.asarray(v) for k, v in params.items()},
+            **{f"opt__{i}": np.asarray(l) for i, l in enumerate(opt_leaves)},
         )
 
 
@@ -134,9 +140,24 @@ def restore_checkpoint(path: str, params_like, opt_state_like):
     if latest.endswith(".npz"):
         import numpy as np
 
+        from .log import warn_once
+
         data = np.load(full)
         params = {k: jnp.asarray(data[k.replace(".", "__")]) for k in params_like}
-        return params, opt_state_like, int(data["step"])
+        opt_keys = sorted((k for k in data.files if k.startswith("opt__")),
+                          key=lambda k: int(k.split("__")[1]))
+        like_leaves, treedef = jax.tree_util.tree_flatten(opt_state_like)
+        if len(opt_keys) == len(like_leaves):
+            opt_state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(data[k]) for k in opt_keys])
+        else:
+            warn_once(
+                ("npz-resume-no-opt", full),
+                f"restore_checkpoint: {latest} carries no optimizer state "
+                "(old-format npz fallback) — resuming with freshly "
+                "initialized optimizer state (Adam moments restart)")
+            opt_state = opt_state_like
+        return params, opt_state, int(data["step"])
     try:
         import orbax.checkpoint as ocp
 

@@ -6,8 +6,13 @@ main.cpp:177-322).  A TPU pod has no display, so this module renders to the
 terminal with ANSI truecolor half-blocks and reproduces the interaction
 model:
 
-* WASD + space/c to move, arrow keys to yaw/pitch (main.cpp:177-232 uses
-  RMB drag; keys here), q/ESC to quit.
+* WASD + space/c to move; yaw/pitch via RMB drag-look (SGR mouse
+  reporting, DECSET 1002/1006 — the terminal reproduction of
+  main.cpp:208-232's ``yaw_delta += dx * 0.1`` applied scaled by the
+  frame delta, main.cpp:266-280) or arrow keys; q/ESC to quit.
+* Terminal resizes (SIGWINCH) rebuild the render size after a 0.3 s
+  debounce — the reference's back-buffer rebuild on window resize
+  (window.cpp:198-203).
 * '+'/'-' cycle the registered renderers (main.cpp:181-191).
 * 'r' reloads the scene; the file's mtime is also polled every 0.5 s
   (main.cpp:235-254); a failed reload keeps the previous scene
@@ -59,7 +64,23 @@ def print_preview(img, max_width: int = 100) -> None:
 
 
 class _RawTerm:
-    """cbreak-mode stdin for single-key reads (no-op when not a tty)."""
+    """cbreak-mode stdin for single-key reads (no-op when not a tty).
+
+    ``mouse=True`` additionally enables SGR mouse reporting (DECSET 1002 =
+    button-event tracking incl. drag motion, 1006 = SGR extended coords) so
+    RMB drag-look works like the reference's SDL mouse path
+    (main.cpp:208-232).  Mouse events come back as
+    ``("mouse", button_code, col, row, is_press)`` tuples."""
+
+    MOUSE_ON = "\x1b[?1002h\x1b[?1006h"
+    MOUSE_OFF = "\x1b[?1006l\x1b[?1002l"
+
+    def __init__(self, mouse: bool = False):
+        self.mouse = mouse
+        # raw byte buffer: escape sequences arrive as several bytes and a
+        # buffered sys.stdin.read(1) would swallow them past select()'s
+        # visibility — all reads go through os.read + this buffer
+        self.buf = b""
 
     def __enter__(self):
         self.enabled = sys.stdin.isatty()
@@ -70,29 +91,70 @@ class _RawTerm:
             self.fd = sys.stdin.fileno()
             self.old = termios.tcgetattr(self.fd)
             tty.setcbreak(self.fd)
+            if self.mouse:
+                sys.stdout.write(self.MOUSE_ON)
+                sys.stdout.flush()
         return self
 
     def __exit__(self, *exc):
         if self.enabled:
             import termios
 
+            if self.mouse:
+                sys.stdout.write(self.MOUSE_OFF)
+                sys.stdout.flush()
             termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
+
+    def _next_byte(self, timeout: float):
+        """One byte from the internal buffer, refilled via os.read."""
+        if not self.buf:
+            r, _, _ = select.select([self.fd], [], [], timeout)
+            if not r:
+                return None
+            try:
+                self.buf = os.read(self.fd, 4096)
+            except OSError:
+                return None
+            if not self.buf:
+                return None
+        b, self.buf = self.buf[:1], self.buf[1:]
+        return b.decode("latin-1")
+
+    def _read_csi(self):
+        """Read the remainder of an ESC[-sequence (params + final byte)."""
+        seq = ""
+        while len(seq) < 24:
+            c = self._next_byte(0.01)
+            if c is None:
+                break
+            seq += c
+            if c.isalpha() or c == "~":
+                break
+        return seq
 
     def get_key(self, timeout: float = 0.05):
         if not self.enabled:
             time.sleep(timeout)
             return None
-        r, _, _ = select.select([sys.stdin], [], [], timeout)
-        if not r:
+        ch = self._next_byte(timeout)
+        if ch is None:
             return None
-        ch = sys.stdin.read(1)
-        if ch == "\x1b":  # arrow keys: ESC [ A/B/C/D
-            r, _, _ = select.select([sys.stdin], [], [], 0.01)
-            if r:
-                seq = sys.stdin.read(2)
-                return {"[A": "up", "[B": "down", "[C": "right", "[D": "left"}.get(seq, "esc")
+        if ch != "\x1b":
+            return ch
+        lead = self._next_byte(0.01)
+        if lead is None:
             return "esc"
-        return ch
+        if lead != "[":
+            return "esc"
+        seq = self._read_csi()
+        if seq and seq[0] == "<" and seq[-1] in "Mm":
+            # SGR mouse: ESC [ < Cb ; Cx ; Cy (M=press/motion, m=release)
+            try:
+                cb, cx, cy = (int(v) for v in seq[1:-1].split(";"))
+            except ValueError:
+                return None
+            return ("mouse", cb, cx, cy, seq[-1] == "M")
+        return {"A": "up", "B": "down", "C": "right", "D": "left"}.get(seq, "esc")
 
 
 def interactive(
@@ -104,8 +166,10 @@ def interactive(
     seed: int = 0,
     move_speed: float = 1.5,
     turn_speed: float = 0.15,
-    low_res_scale: float = 0.33,
+    low_res_scale: float | None = None,
     confirm_reload: bool = True,
+    mouse_sensitivity: float = 0.1,
+    follow_resize: bool = True,
 ):
     """Interactive terminal loop (the reference's `run()` without SDL).
 
@@ -113,14 +177,32 @@ def interactive(
     reload-confirmation prompt instead of reloading silently — the
     terminal analogue of the reference's ImGui "scene file has changed,
     reload?" dialog (main.cpp:251-263); 'y' (or 'r') reloads with the
-    camera preserved, 'n' dismisses until the next change."""
+    camera preserved, 'n' dismisses until the next change.
+
+    ``low_res_scale``: preview-buffer scale while the camera moves.  The
+    default follows the reference's two compile-mode tiers (×0.33 release /
+    ×0.1 debug, window.cpp:54-64): 0.33, or 0.1 when ``RT_TPU_DEBUG`` is
+    set in the environment (the runtime analogue of a debug build).
+
+    ``mouse_sensitivity``: radians of yaw/pitch delta per dragged terminal
+    cell; the accumulated delta is applied scaled by the frame delta-time,
+    exactly the reference's ``yaw_delta += dx * 0.1`` →
+    ``rotate_yaw(yaw_delta * delta_time)`` chain (main.cpp:225-226, 266-280).
+
+    ``follow_resize``: rebuild the render size 0.3 s after the last
+    SIGWINCH, the reference's debounced back-buffer rebuild
+    (window.cpp:198-203)."""
     import dataclasses
+    import signal
 
     import jax.numpy as jnp
 
     import rt_tpu
     from rt_tpu import renderer as registry
     from rt_tpu.camera import rotate_pitch, rotate_yaw
+
+    if low_res_scale is None:
+        low_res_scale = 0.1 if os.environ.get("RT_TPU_DEBUG") else 0.33
 
     def load():
         if scene_path:
@@ -143,6 +225,35 @@ def interactive(
     dirty = True
     full_quality_pending = False
     reload_prompt = False
+    # RMB drag-look state (main.cpp:199-232)
+    mouse_dragging = False
+    last_mouse = (0, 0)
+    yaw_delta = 0.0
+    pitch_delta = 0.0
+    prev_time = time.monotonic()
+    debug_hud = bool(os.environ.get("RT_VIEWER_DEBUG"))
+
+    # debounced resize (window.cpp:198-203): the handler only timestamps;
+    # the loop rebuilds the size 0.3 s after the last SIGWINCH
+    resize_at = [0.0]
+    if follow_resize and hasattr(signal, "SIGWINCH"):
+        try:
+            signal.signal(signal.SIGWINCH,
+                          lambda *_: resize_at.__setitem__(0, time.monotonic()))
+        except ValueError:  # not the main thread
+            pass
+
+    def terminal_render_size():
+        """Map the terminal cell grid to a render size: the half-block
+        preview uses ~W/2 columns and ~H/4 rows (2x2 px per cell after the
+        downsample step), minus 3 rows of status text."""
+        try:
+            ts = os.get_terminal_size(sys.stdout.fileno())
+        except OSError:
+            return None
+        w = max(32, 2 * (ts.columns - 2))
+        h = max(16, 4 * max(ts.lines - 3, 4))
+        return (w - w % 2, h - h % 2)
 
     def update_title():
         # terminal-title status line (the reference's window title carries
@@ -166,14 +277,49 @@ def interactive(
         sys.stdout.write("\x1b[H\x1b[2J")
         print_preview(img, max_width=size[0] // 2)
         update_title()
-        print(f"[{names[r_idx]}] {scene.path or '<default>'}  "
-              "wasd/space/c move, arrows look, +/- renderer, r reload, q quit")
+        print(f"[{names[r_idx]}] {size[0]}x{size[1]} {scene.path or '<default>'}  "
+              "wasd/space/c move, RMB-drag/arrows look, +/- renderer, "
+              "r reload, q quit")
+        if debug_hud:
+            fwd = np.asarray(scene.camera.forward)
+            pos = np.asarray(scene.camera.position)
+            print(f"cam pos=({pos[0]:.3f},{pos[1]:.3f},{pos[2]:.3f}) "
+                  f"fwd=({fwd[0]:.4f},{fwd[1]:.4f},{fwd[2]:.4f})")
         if reload_prompt:
             print("scene file has changed on disk — reload? [y/n]")
 
-    with _RawTerm() as term:
+    with _RawTerm(mouse=True) as term:
         while True:
             now = time.monotonic()
+            # frame delta, clamped like the reference (main.cpp's
+            # std::min(dt, 0.1f) via window.cpp:205)
+            dt = min(now - prev_time, 0.1)
+            prev_time = now
+
+            # apply accumulated drag-look deltas scaled by dt
+            # (main.cpp:266-280)
+            if mouse_dragging and (yaw_delta != 0.0 or pitch_delta != 0.0):
+                cam = scene.camera
+                if yaw_delta != 0.0:
+                    cam = dataclasses.replace(
+                        cam, rotation=rotate_yaw(cam.rotation, yaw_delta * dt))
+                if pitch_delta != 0.0:
+                    cam = dataclasses.replace(
+                        cam, rotation=rotate_pitch(cam.rotation,
+                                                   pitch_delta * dt))
+                yaw_delta = 0.0
+                pitch_delta = 0.0
+                scene = dataclasses.replace(scene, camera=cam)
+                last_move = now
+                dirty = True
+
+            # debounced resize -> rebuild the render size
+            if resize_at[0] and now - resize_at[0] > 0.3:
+                resize_at[0] = 0.0
+                new_size = terminal_render_size()
+                if new_size and new_size != size:
+                    size = new_size
+                    dirty = True
             if dirty:
                 low = (now - last_move) < 0.5 and last_move > 0
                 draw(low)
@@ -206,6 +352,23 @@ def interactive(
 
             k = term.get_key()
             if k is None:
+                continue
+            if isinstance(k, tuple) and k[0] == "mouse":
+                _, cb, cx, cy, press = k
+                btn = cb & 3
+                motion = bool(cb & 32)
+                if motion and mouse_dragging:
+                    # accumulate like main.cpp:225-226 (0.1 rad per cell);
+                    # leftward drag = positive yaw, downward = positive
+                    # pitch, matching the camera.rotate_* conventions
+                    yaw_delta += (last_mouse[0] - cx) * mouse_sensitivity
+                    pitch_delta += (last_mouse[1] - cy) * mouse_sensitivity
+                    last_mouse = (cx, cy)
+                elif btn == 2 and press and not motion:  # RMB down
+                    mouse_dragging = True
+                    last_mouse = (cx, cy)
+                elif btn == 2 and not press:  # RMB up
+                    mouse_dragging = False
                 continue
             cam = scene.camera
             moved = False

@@ -38,16 +38,67 @@ def test_fit_recovers_albedo(scene):
     assert rec == pytest.approx(0.9, abs=0.08)
 
 
-def test_checkpoint_roundtrip(tmp_path, scene):
+def _advanced_state(scene):
+    """Params + a NON-trivial Adam state (one real update so mu/nu != 0)."""
+    import jax
     import optax
 
     params = diff.extract_params(scene)
     opt = optax.adam(1e-2)
     opt_state = opt.init(params)
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 0.1, params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return opt, params, opt_state
+
+
+def _assert_state_equal(a, b):
+    import jax
+
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_roundtrip(tmp_path, scene):
+    opt, params, opt_state = _advanced_state(scene)
     train.save_checkpoint(str(tmp_path), params, opt_state, 7)
     restored = train.restore_checkpoint(str(tmp_path), params, opt_state)
     assert restored is not None
-    r_params, _, step = restored
+    r_params, r_opt, step = restored
     assert step == 7
     for k in params:
         np.testing.assert_allclose(np.asarray(r_params[k]), np.asarray(params[k]))
+    # optimizer state (incl. Adam moments) must survive the round trip
+    _assert_state_equal(r_opt, opt_state)
+
+
+def test_checkpoint_npz_fallback_keeps_opt_state(tmp_path, scene, monkeypatch):
+    """Force the .npz fallback path (orbax import fails) and assert the Adam
+    moments survive the round trip — round-2 VERDICT item 7."""
+    import builtins
+    import optax
+
+    opt, params, opt_state = _advanced_state(scene)
+
+    real_import = builtins.__import__
+
+    def no_orbax(name, *args, **kwargs):
+        if name.startswith("orbax"):
+            raise ImportError("orbax disabled for test")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", no_orbax)
+    train.save_checkpoint(str(tmp_path), params, opt_state, 3)
+    assert any(p.name.endswith(".npz") for p in tmp_path.iterdir())
+    restored = train.restore_checkpoint(str(tmp_path), params, opt.init(params))
+    assert restored is not None
+    r_params, r_opt, step = restored
+    assert step == 3
+    _assert_state_equal(r_opt, opt_state)
+    # a further optimizer step runs cleanly on the restored state
+    grads = {k: jnp.ones_like(v) * 0.05 for k, v in r_params.items()}
+    updates, _ = opt.update(grads, r_opt, r_params)
+    optax.apply_updates(r_params, updates)
