@@ -193,22 +193,6 @@ def render_image_sharded(
 
     scene_spec = dataclasses.replace(scene_spec, spheres=spheres_spec)
 
-    if grad_mode == "replay" and n_prims_axis > 1:
-        # replay needs the full sphere table on-device; with a sharded
-        # table the recorded winner may live on another shard.
-        from .log import warn_once
-
-        warn_once(
-            ("dist", "replay-downgrade"),
-            "render_image_sharded: grad_mode='replay' is unsupported on a "
-            "prims-sharded mesh (the recorded winner may live on another "
-            "shard) — downgrading to autodiff, which has a far more "
-            "expensive backward pass",
-        )
-        grad_mode_eff = "autodiff"
-    else:
-        grad_mode_eff = grad_mode
-
     if jax.process_count() > 1 and not isinstance(grid, jax.core.Tracer):
         # multi-controller: operands must be global arrays (inside a jit
         # trace the enclosing pjit already owns the layout — skip there)
@@ -225,7 +209,13 @@ def render_image_sharded(
             spp=spp, personality=personality, max_bounces=max_bounces,
             rng_mode=rng_mode, ray_chunk=ray_chunk, hit_fn=hit_fn,
             chunk_offset=shard_id * chunks_per_shard,
-            grad_mode=grad_mode_eff if hit_fn is None else "autodiff",
+            grad_mode=grad_mode,
+            # prims-sharded replay: the sharded hit_fn records GLOBAL
+            # winner indices; replay one-hot-fetches per shard + psums
+            # the payloads (rt_tpu.replay.replay_radiance)
+            replay_prims_axis=("prims" if (hit_fn is not None
+                                           and grad_mode == "replay")
+                               else None),
         )
         return rad
 

@@ -194,6 +194,7 @@ def render_pixels(
     remat: bool = True,
     grad_mode: str = "autodiff",
     include_boxes: bool = False,
+    replay_prims_axis=None,
 ) -> jax.Array:
     """Mean radiance over spp samples for a flat (N, 2) pixel array.
 
@@ -211,7 +212,9 @@ def render_pixels(
     ``grad_mode``: "autodiff" differentiates the full trace; "replay"
     (rt_tpu.replay) pins the discrete path structure and differentiates a
     cheap replay — same value, same detached-sampling gradient, much
-    cheaper backward.  "replay" requires the default hit_fn.
+    cheaper backward.  With a custom (prims-sharded) hit_fn, pass
+    ``replay_prims_axis`` to run the global-winner replay
+    (rt_tpu.replay.replay_radiance).
     """
     if max_bounces is None:
         max_bounces = scene.max_bounces
@@ -223,9 +226,15 @@ def render_pixels(
     chunks = jnp.pad(pixels, ((0, n_pad - n), (0, 0))).reshape(n_pad // ray_chunk, ray_chunk, 2)
 
     if grad_mode == "replay":
-        if hit_fn is not None:
-            raise ValueError("grad_mode='replay' requires the default hit_fn")
-        from .replay import trace_batch_replay as _trace
+        if hit_fn is not None and replay_prims_axis is None:
+            raise ValueError(
+                "grad_mode='replay' with a custom hit_fn needs "
+                "replay_prims_axis (global-winner replay; rt_tpu.dist)")
+        import functools as _ft
+
+        from .replay import trace_batch_replay
+        _trace = _ft.partial(trace_batch_replay,
+                             prims_axis=replay_prims_axis)
     elif grad_mode == "autodiff":
         _trace = trace_batch
     else:

@@ -109,23 +109,61 @@ def _bucket(n: int) -> int:
     return -(-n // 512) * 512
 
 
-def _padded_table(cols: np.ndarray, bucket: int) -> np.ndarray:
+def _padded_table(cols: np.ndarray, bucket: int,
+                  gidx: Optional[np.ndarray] = None) -> np.ndarray:
     """(10, count) column payload -> (bucket, 16) row-major table.  Padding
     rows are all-zero; the kernel masks them by count, so their values never
-    matter."""
+    matter.  Column 10 carries each row's ORIGINAL (pre-sort) index as f32
+    (exact for tables <= 2^24): the lean scan tie-breaks on it so a
+    spatially sorted table still reproduces the reference's first-index-
+    wins argmin bit-exactly (mg_ray_tracer.cpp:95-102)."""
     out = np.zeros((bucket, _COLS), np.float32)
-    out[: cols.shape[1], :10] = cols.T
+    n = cols.shape[1]
+    out[:n, :10] = cols.T
+    out[:, 10] = np.arange(bucket, dtype=np.float32)
+    if gidx is not None:
+        out[:n, 10] = gidx.astype(np.float32)
     return out
+
+
+def _morton_perm(cols: np.ndarray) -> np.ndarray:
+    """Spatial (Morton/Z-order) permutation of sphere columns.  Sorting
+    makes each scan block spatially COMPACT, which is what gives the
+    per-block bounding spheres (:func:`_block_bounds`) culling power — an
+    unsorted random scene has every block spanning the whole scene, so the
+    conservative cull never fires (measured 0.74x, i.e. pure overhead).
+    Winner semantics are unchanged: the scan tie-breaks on the original
+    index carried in table column 10."""
+    n = cols.shape[1]
+    if n == 0:
+        return np.arange(0)
+    c = cols[:3, :].T.astype(np.float64)
+    lo, hi = c.min(axis=0), c.max(axis=0)
+    q = np.clip(((c - lo) / np.maximum(hi - lo, 1e-9) * 1023.0), 0, 1023
+                ).astype(np.int64)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
 
 
 def _padded_table_mxu(cols: np.ndarray, bucket: int, kind: str) -> np.ndarray:
     """(10, count) column payload -> transposed (16, bucket) table for the
     MXU scan: payload rows 0-9 as in :func:`_padded_table`; spheres
     additionally get row 10 = |c|^2 - r^2 and rows 11-13 = -2c, so the
-    quadratic term is one K=4 matmul against [1, ox, oy, oz]."""
+    quadratic term is one K=4 matmul against [1, ox, oy, oz].  Row 14
+    carries the original index (the lean scan's tie-break column; the MXU
+    tables are never sorted, so it is just arange)."""
     out = np.zeros((_COLS, bucket), np.float32)
     n = cols.shape[1]
     out[:10, :n] = cols
+    out[14, :] = np.arange(bucket, dtype=np.float32)
     if kind == "sphere" and n:
         cx, cy, cz, rad = cols[0], cols[1], cols[2], cols[3]
         out[10, :n] = cx * cx + cy * cy + cz * cz - rad * rad
@@ -141,22 +179,101 @@ def _hw_u01(shape):
     return top24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
+def _auto_cull_group(s_pad: int, block: int) -> int:
+    """Largest group size in {8, 4, 2, 1} dividing the physical block count
+    (the grouped scan must not read past the table)."""
+    nb = s_pad // block
+    for g in (8, 4, 2, 1):
+        if nb % g == 0:
+            return g
+    return 1
+
+
+def _block_bounds(s_tab: jax.Array, block: int) -> jax.Array:
+    """Per-block bounding spheres for the conservative cull (traced jnp, so
+    geometry edits still don't recompile).  Row ib of the (nb_pad, 128)
+    result holds [cBx, cBy, cBz, R_B] in cols 0-3: the centroid of the
+    block's sphere centres and a radius covering every member sphere
+    entirely.  R_B is inflated by a relative 1e-4 + 1e-5 so f32 rounding in
+    this computation or in the kernel's distance test can never make the
+    bound non-conservative (the cull must preserve the exact argmin).
+    Padding rows (centre 0, radius 0) only ever inflate R_B — fewer culls in
+    the tail block, never a wrong skip."""
+    s_pad = s_tab.shape[0]
+    nb = s_pad // block
+    c = s_tab[:, :3].reshape(nb, block, 3)
+    r = s_tab[:, 3].reshape(nb, block)
+    cB = c.mean(axis=1)
+    R = jnp.max(jnp.sqrt(jnp.sum((c - cB[:, None, :]) ** 2, axis=-1)) + r,
+                axis=1)
+    R = R * jnp.float32(1.0 + 1e-4) + jnp.float32(1e-5)
+    nb_pad = -(-nb // 8) * 8
+    aux = jnp.zeros((nb_pad, 128), jnp.float32)
+    aux = aux.at[:nb, 0:3].set(cB).at[:nb, 3].set(R)
+    return aux
+
+
+def _seed_table(s_tab: jax.Array, block: int) -> jax.Array:
+    """(128, 16) seed subset for the culled scan: the max-radius sphere of
+    every block (traced jnp).  Scanning this subset FIRST establishes a
+    tight per-lane running best_t before any full block is visited — the
+    grouped cull's t-window test otherwise only fires after the scan
+    happens to pass the winner's block (measured: barely 1.06x).  A subset
+    scan is a PARTIAL scan, so correctness is untouched: re-encounters in
+    the main sweep tie on (t, original index) and keep the first winner.
+    Column 10 carries the original index (tie-break), column 11 the row in
+    the (sorted) main table (the extract one-hot).  Padding rows are inert
+    (centre 1e9, radius 0 -> negative discriminant)."""
+    s_pad = s_tab.shape[0]
+    nb = s_pad // block
+    r = s_tab[:, 3].reshape(nb, block)
+    j = jnp.argmax(r, axis=1)
+    rows = s_tab[jnp.arange(nb) * block + j]          # (nb, 16)
+    seed = jnp.full((128, _COLS), 0.0, jnp.float32)
+    seed = seed.at[:, 0].set(1e9).at[:, 10].set(1e9)
+    seed = seed.at[:nb, :].set(rows)
+    seed = seed.at[:nb, 11].set((jnp.arange(nb) * block + j)
+                                .astype(jnp.float32))
+    return seed
+
+
 def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                            max_bounces, rng_mode, rng_impl, center_sample,
-                           block=_BLOCK, mxu=False, scan="payload"):
+                           block=_BLOCK, mxu=False, scan="payload",
+                           cull=False, cull_group=4):
     """Kernel body.  Refs: meta (SMEM scalars: seed, sphere count, plane
     count), cam (SMEM scalars), sphere table (s_pad, 16) VMEM — or
-    transposed (16, s_pad) when ``mxu`` — plane table likewise, out
-    (1, 3, 128) VMEM block."""
+    transposed (16, s_pad) when ``mxu`` — plane table likewise, [aux block
+    bounds (nb_pad, 128) VMEM when ``cull``], out (1, 3, 128) VMEM block.
+
+    ``cull=True`` (lean scan only): before intersecting a sphere block, a
+    per-lane ray test against the block's bounding sphere (aux table, see
+    :func:`_block_bounds`) decides whether ANY live lane could still beat
+    its running best inside this block; if not, the whole (block, 16) load +
+    intersection is skipped via lax.cond.  The test is conservative with
+    non-strict comparisons, so the surviving argmin (incl. the
+    spheres-beat-planes tie rule) is bit-exact vs the unculled scan: any
+    sphere hit at parameter t satisfies |t - tc| <= R_B and perp^2 <= R_B^2
+    for the block bound, so blocks failing (perp^2 <= R^2) & (tc + R >=
+    MIN_HIT) & (tc - R <= best_t) on every live lane cannot contribute."""
     f32 = jnp.float32
     shape = (1, _LANES)
+    assert not cull or (scan == "lean" and not mxu)
+    # the grouped scan addresses blocks [ig*G, ig*G+G): the physical block
+    # count must divide evenly so the tail group stays in bounds (tail
+    # VALIDITY is handled by the per-row count mask; this is about reads)
+    assert not cull or (s_pad // block) % cull_group == 0
     _dot = functools.partial(
         jax.lax.dot_general,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
-    def kernel(meta_ref, cam_ref, sph_ref, pln_ref, out_ref):
+    def kernel(meta_ref, cam_ref, sph_ref, pln_ref, *rest):
+        if cull:
+            aux_ref, seed_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
         # meta[3] is a tile offset: under the sharded entry point each
         # device owns a contiguous tile range, so ids stay globally unique
         # (per-shard RNG streams, SURVEY.md §2 parallelism table).
@@ -421,7 +538,14 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                 # contraction over the whole table (0/1 mask x f32 payload
                 # splits exactly across the bf16 MXU passes under HIGHEST, so
                 # the fetched values are bit-identical to a VPU select).
-                lean_init = (jnp.full(shape, f32(_BIG)), zero, zero)
+                # carry: (best_t, winner TABLE row, winner ORIGINAL index,
+                # is-plane).  The original-index slot exists so a spatially
+                # sorted sphere table (order="morton") still reproduces the
+                # reference's first-index-wins tie rule exactly: the running
+                # compare is the lexicographic min over (t, original index)
+                # with the spheres-beat-planes exception.
+                lean_init = (jnp.full(shape, f32(_BIG)), zero,
+                             jnp.full(shape, f32(_BIG)), zero)
 
                 def lean_planes(ib, carry):
                     if mxu:
@@ -444,11 +568,12 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     tmin = jnp.min(t, axis=0, keepdims=True)
                     winrow = jnp.min(jnp.where(t == tmin, prowf, f32(1e9)),
                                      axis=0, keepdims=True)
-                    best_t, bidxf, isplf = carry
+                    best_t, browf, bgidxf, isplf = carry
                     better = tmin < best_t  # strict: earliest index wins
                     gwin = f32(1.0) * ib * p_block + winrow
                     return (jnp.where(better, tmin, best_t),
-                            jnp.where(better, gwin, bidxf),
+                            jnp.where(better, gwin, browf),
+                            jnp.where(better, gwin, bgidxf),
                             jnp.where(better, one, isplf))
 
                 def lean_spheres(ib, carry):
@@ -475,23 +600,106 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     valid = (ib * s_block + srowi) < n_sph
                     ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
                     t = jnp.where(ok, t, f32(_BIG))
+                    gcol = blk[14:15].T if mxu else blk[:, 10:11]
                     tmin = jnp.min(t, axis=0, keepdims=True)
-                    winrow = jnp.min(jnp.where(t == tmin, srowf, f32(1e9)),
-                                     axis=0, keepdims=True)
-                    best_t, bidxf, isplf = carry
-                    # spheres win a plane tie, strict '<' among themselves
+                    # among equal-t rows: the one with the smallest ORIGINAL
+                    # index wins (original indices are unique, so the mask
+                    # selects exactly one row)
+                    wingidx = jnp.min(jnp.where(t == tmin, gcol, f32(1e9)),
+                                      axis=0, keepdims=True)
+                    wmsk = ((t == tmin) & (gcol == wingidx)).astype(f32)
+                    winrow = jnp.sum(wmsk * srowf, axis=0, keepdims=True)
+                    best_t, browf, bgidxf, isplf = carry
+                    # spheres win a plane tie; among spheres the smaller
+                    # original index wins (== the reference's scan order)
                     better = (tmin < best_t) | (
-                        (tmin == best_t) & (isplf > 0.0) & (tmin < f32(_BIG))
+                        (tmin == best_t) & (tmin < f32(_BIG))
+                        & ((isplf > 0.0) | (wingidx < bgidxf))
                     )
                     gwin = f32(1.0) * ib * s_block + winrow
                     return (jnp.where(better, tmin, best_t),
-                            jnp.where(better, gwin, bidxf),
+                            jnp.where(better, gwin, browf),
+                            jnp.where(better, wingidx, bgidxf),
                             jnp.where(better, zero, isplf))
+
+                def lean_seed(carry):
+                    """Partial scan over the per-block representative
+                    subset (see _seed_table) — tightens best_t so the
+                    grouped cull's t-window fires from the first group."""
+                    blk = seed_ref[...]
+                    cx = blk[:, 0:1]
+                    cy = blk[:, 1:2]
+                    cz = blk[:, 2:3]
+                    rad = blk[:, 3:4]
+                    gcol = blk[:, 10:11]
+                    rowcol = blk[:, 11:12]
+                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                    bq = ocx * dx + ocy * dy + ocz * dz
+                    c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                    disc = bq * bq - c0
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    t0 = -bq - sq
+                    t1 = -bq + sq
+                    t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+                    ok = (rad > 0.0) & (disc >= 0.0) & (t >= _MIN_HIT)
+                    t = jnp.where(ok, t, f32(_BIG))
+                    tmin = jnp.min(t, axis=0, keepdims=True)
+                    wingidx = jnp.min(jnp.where(t == tmin, gcol, f32(1e9)),
+                                      axis=0, keepdims=True)
+                    wmsk = ((t == tmin) & (gcol == wingidx)).astype(f32)
+                    winrow = jnp.sum(wmsk * rowcol, axis=0, keepdims=True)
+                    best_t, browf, bgidxf, isplf = carry
+                    better = (tmin < best_t) | (
+                        (tmin == best_t) & (tmin < f32(_BIG))
+                        & ((isplf > 0.0) | (wingidx < bgidxf))
+                    )
+                    return (jnp.where(better, tmin, best_t),
+                            jnp.where(better, winrow, browf),
+                            jnp.where(better, wingidx, bgidxf),
+                            jnp.where(better, zero, isplf))
+
+                def lean_spheres_culled(ig, carry):
+                    # Grouped block cull: ONE vectorized (G, 128) bounding-
+                    # sphere ray test + ONE branch covers G Morton-adjacent
+                    # blocks.  Per-block branches measured ~break-even on
+                    # v5e (the cond's cross-lane reduce + pipeline bubble
+                    # costs about what one 128-row block scan costs);
+                    # amortizing the branch G-ways makes skips profitable.
+                    arow = aux_ref[pl.ds(ig * cull_group, cull_group), :]
+                    bcx_ = arow[:, 0:1]
+                    bcy_ = arow[:, 1:2]
+                    bcz_ = arow[:, 2:3]
+                    rB = arow[:, 3:4]
+                    ocx_, ocy_, ocz_ = bcx_ - ox, bcy_ - oy, bcz_ - oz
+                    tc = ocx_ * dx + ocy_ * dy + ocz_ * dz
+                    dist2 = ocx_ * ocx_ + ocy_ * ocy_ + ocz_ * ocz_
+                    # perp2 = dist2 - tc^2 cancels catastrophically for
+                    # distant blocks: pad every comparison by a few-ulp
+                    # margin of its operands so f32 rounding can only make
+                    # the test MORE permissive (exact-argmin guarantee)
+                    perp2 = dist2 - tc * tc
+                    m2 = f32(4e-6) * dist2 + f32(1e-6)
+                    mt = f32(1e-6) * (jnp.abs(tc) + 1.0)
+                    best_t = carry[0]
+                    poss = (lv & (perp2 <= rB * rB + m2)
+                            & (tc + rB + mt >= f32(_MIN_HIT))
+                            & (tc - rB - mt <= best_t))
+
+                    def scan_group(c, ig=ig):
+                        for j in range(cull_group):
+                            c = lean_spheres(ig * cull_group + j, c)
+                        return c
+
+                    return jax.lax.cond(
+                        jnp.sum(poss.astype(f32)) > 0.0,
+                        scan_group, lambda c: c, carry)
 
                 n_pblk = (n_pln + p_block - 1) // p_block
                 n_sblk = (n_sph + s_block - 1) // s_block
+                n_sgrp = (n_sblk + cull_group - 1) // cull_group
                 if scan == "lean":
-                    plane_fn, sphere_fn = lean_planes, lean_spheres
+                    plane_fn = lean_planes
+                    sphere_fn = lean_spheres_culled if cull else lean_spheres
                 else:
                     plane_fn = scan_planes_mxu if mxu else scan_planes
                     sphere_fn = scan_spheres_mxu if mxu else scan_spheres
@@ -499,7 +707,7 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                 def extract(rec):
                     """Lean carries -> the 14-slot payload tuple, via one
                     one-hot contraction per table (exact, see above)."""
-                    best_t, bidxf, isplf = rec
+                    best_t, bidxf, _bgidxf, isplf = rec
                     hitb = best_t < f32(1e37)
                     # Mosaic iota must be integer-typed; bidx is a small
                     # exact integer in f32, so the int cast is lossless
@@ -540,7 +748,10 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     rec = jax.lax.fori_loop(0, n_pblk, plane_fn,
                                             lean_init if scan == "lean"
                                             else init)
-                    rec = jax.lax.fori_loop(0, n_sblk, sphere_fn, rec)
+                    if cull:
+                        rec = lean_seed(rec)
+                    rec = jax.lax.fori_loop(0, n_sgrp if cull else n_sblk,
+                                            sphere_fn, rec)
                     return extract(rec) if scan == "lean" else rec
 
                 if b == 0:
@@ -675,29 +886,37 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
 @functools.lru_cache(maxsize=32)
 def _compiled_bw(*, width, height, s_pad, p_pad, spp_unroll, max_bounces,
                  rng_mode, rng_impl, center_sample, interpret, block=_BLOCK,
-                 n_tiles=None, mxu=False, scan="payload"):
+                 n_tiles=None, mxu=False, scan="payload", cull=False,
+                 cull_group=4):
     kernel = _make_blockwise_kernel(
         width=width, height=height, s_pad=s_pad, p_pad=p_pad,
         spp_unroll=spp_unroll, max_bounces=max_bounces, rng_mode=rng_mode,
         rng_impl=rng_impl, center_sample=center_sample, block=block, mxu=mxu,
-        scan=scan,
+        scan=scan, cull=cull, cull_group=cull_group,
     )
     if n_tiles is None:
         n = width * height
         n_tiles = -(-n // _LANES)
     s_spec = (_COLS, s_pad) if mxu else (s_pad, _COLS)
     p_spec = (_COLS, p_pad) if mxu else (p_pad, _COLS)
+    in_specs = [
+        pl.BlockSpec(s_spec, lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(p_spec, lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if cull:
+        nb_pad = -(-(s_pad // block) // 8) * 8
+        in_specs.append(pl.BlockSpec((nb_pad, 128), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((128, _COLS), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # meta, cam
             grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(s_spec, lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(p_spec, lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 3, 1, _LANES),
                                    lambda i, *_: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -711,7 +930,8 @@ def _compiled_bw(*, width, height, s_pad, p_pad, spp_unroll, max_bounces,
 @functools.lru_cache(maxsize=32)
 def _compiled_frame_bw(*, width, height, s_pad, p_pad, spp, spp_unroll,
                        max_bounces, rng_mode, rng_impl, gamma, center_first,
-                       interpret, block=_BLOCK, mxu=False, scan="payload"):
+                       interpret, block=_BLOCK, mxu=False, scan="payload",
+                       cull=False, cull_group=4):
     """Jitted frame: chained sample-chunk kernels + mean + gamma + crop in
     ONE dispatch; primitive tables and camera are traced inputs."""
     chunk_sizes = []
@@ -725,16 +945,19 @@ def _compiled_frame_bw(*, width, height, s_pad, p_pad, spp, spp_unroll,
                      spp_unroll=k, max_bounces=max_bounces, rng_mode=rng_mode,
                      rng_impl=rng_impl,
                      center_sample=(i == 0 and center_first),
-                     interpret=interpret, block=block, mxu=mxu, scan=scan)
+                     interpret=interpret, block=block, mxu=mxu, scan=scan,
+                     cull=cull, cull_group=cull_group)
         for i, k in enumerate(chunk_sizes)
     ]
     n = width * height
 
     @jax.jit
     def run(meta_rows, cam, s_tab, p_tab):
+        aux = ((_block_bounds(s_tab, block),
+                _seed_table(s_tab, block)) if cull else ())
         total = None
         for ci, call in enumerate(calls):
-            out = call(meta_rows[ci], cam, s_tab, p_tab)
+            out = call(meta_rows[ci], cam, s_tab, p_tab, *aux)
             total = out if total is None else total + out
         img = total[:, :, 0, :] * jnp.float32(1.0 / spp)
         if gamma:
@@ -762,6 +985,8 @@ def render_forward_blockwise(
     block: Optional[int] = None,
     mxu: Optional[bool] = None,
     scan: Optional[str] = None,
+    cull: Optional[bool] = None,
+    order: Optional[str] = None,
     **_unused,
 ) -> jax.Array:
     """Render a full frame with the blockwise megakernel.  (H, W, 3) f32.
@@ -798,11 +1023,36 @@ def render_forward_blockwise(
         # lean carries measured 1.25-1.46x the payload scan on v5e (500/5000
         # spheres) and are bit-exact against it on device — default
         scan = "lean" if not mxu else "payload"
+    if cull is None:
+        # Exact-argmin-preserving block culling (see _make_blockwise_kernel)
+        # is a MILD win only for multi-thousand-sphere tables: measured on
+        # v5e-1 (Morton-sorted, per-block bounds, grouped 4-block branches,
+        # seeded best_t) it is 1.06x on the 5000-sphere slice and a LOSS
+        # below (~0.9x at 500 spheres).  The root cause is structural, not
+        # an implementation gap: a grid step owns 128 rays, and after the
+        # first diffuse bounce their directions span the hemisphere — the
+        # union of 128 divergent rays needs 7-9 of 10 block groups even
+        # when tested against the FINAL per-lane best_t (numpy replay of
+        # the exact kernel test), so there is nothing left to skip.  The
+        # reference semantics (linear scan, no acceleration structure,
+        # mg_ray_tracer.cpp:43-52) and SIMD tiles cap what tile-level
+        # bounds can give; recorded deliberately as a negative result.
+        cull = scan == "lean" and not mxu and s_pad >= 2048
+    if order is None:
+        # spatial sort is what gives the cull teeth (see _morton_perm);
+        # winner parity is preserved via the original-index tie-break
+        order = "morton" if (cull and scene.spheres.count > 1) else "index"
     if mxu:
         s_tab = jnp.asarray(_padded_table_mxu(s_cols, s_pad, "sphere"))
         p_tab = jnp.asarray(_padded_table_mxu(p_cols, p_pad, "plane"))
     else:
-        s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
+        gidx = None
+        if order == "morton":
+            assert scan == "lean", "sorted tables need the lean scan"
+            perm = _morton_perm(s_cols)
+            s_cols = s_cols[:, perm]
+            gidx = perm
+        s_tab = jnp.asarray(_padded_table(s_cols, s_pad, gidx))
         p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
 
     run, n_chunks = _compiled_frame_bw(
@@ -810,7 +1060,8 @@ def render_forward_blockwise(
         spp_unroll=spp_unroll, max_bounces=max_bounces, rng_mode=rng_mode,
         rng_impl=rng_impl, gamma=gamma,
         center_first=(True if center_sample is None else center_sample),
-        interpret=interpret, block=block, mxu=mxu, scan=scan,
+        interpret=interpret, block=block, mxu=mxu, scan=scan, cull=cull,
+        cull_group=_auto_cull_group(s_pad, block),
     )
 
     cam = jnp.concatenate([
@@ -853,6 +1104,8 @@ def render_forward_blockwise_sharded(
     block: Optional[int] = None,
     mxu: Optional[bool] = None,
     scan: Optional[str] = None,
+    cull: Optional[bool] = None,
+    order: Optional[str] = None,
     **_unused,
 ) -> jax.Array:
     """Blockwise megakernel frame sharded over ``mesh[axis]`` (H, W, 3) f32.
@@ -888,11 +1141,21 @@ def render_forward_blockwise_sharded(
         mxu = False
     if scan is None:
         scan = "lean" if not mxu else "payload"
+    if cull is None:
+        cull = scan == "lean" and not mxu and s_pad >= 2048  # see above
+    if order is None:
+        order = "morton" if (cull and scene.spheres.count > 1) else "index"
     if mxu:
         s_tab = jnp.asarray(_padded_table_mxu(s_cols, s_pad, "sphere"))
         p_tab = jnp.asarray(_padded_table_mxu(p_cols, p_pad, "plane"))
     else:
-        s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
+        gidx = None
+        if order == "morton":
+            assert scan == "lean", "sorted tables need the lean scan"
+            perm = _morton_perm(s_cols)
+            s_cols = s_cols[:, perm]
+            gidx = perm
+        s_tab = jnp.asarray(_padded_table(s_cols, s_pad, gidx))
         p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
 
     n_dev = mesh.shape[axis]
@@ -913,16 +1176,19 @@ def render_forward_blockwise_sharded(
                      rng_impl=rng_impl,
                      center_sample=(i == 0 and center_first),
                      interpret=interpret, block=block, n_tiles=local_tiles,
-                     mxu=mxu, scan=scan)
+                     mxu=mxu, scan=scan, cull=cull,
+                     cull_group=_auto_cull_group(s_pad, block))
         for i, k in enumerate(chunk_sizes)
     ]
 
     def shard_fn(meta_rows, cam_, s_tab_, p_tab_):
         off = jax.lax.axis_index(axis).astype(jnp.int32) * local_tiles
         meta_rows = meta_rows.at[:, 3].add(off)
+        aux = ((_block_bounds(s_tab_, block),
+                _seed_table(s_tab_, block)) if cull else ())
         total = None
         for ci, call in enumerate(calls):
-            out = call(meta_rows[ci], cam_, s_tab_, p_tab_)
+            out = call(meta_rows[ci], cam_, s_tab_, p_tab_, *aux)
             total = out if total is None else total + out
         return total
 

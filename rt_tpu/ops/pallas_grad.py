@@ -822,11 +822,23 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
       as ~88% of the reverse cost (1.41 of 1.60 ms) — the cond's carry
       copies of 9*(S+P) wide running sums swamp the ~0.18 ms vjp transpose.
     * "fwd_dense" / "rev_dense" — drop the per-bounce dead-tile lax.cond
-      in the forward / reverse sweep (measurement + fallback)."""
+      in the forward / reverse sweep (measurement + fallback).
+    * "recompute_u" (requires ``rng_impl="hash"`` + lean) — don't stash the
+      3 scatter unit-vector arrays: the counter-based hash RNG is
+      re-evaluable at reverse time from (pixel index, seed, static draw
+      counter), shrinking the lean stash 14 -> 11 arrays per bounce.
+    * "acc_scratch" — per-primitive gradient accumulators live in a VMEM
+      scratch ref with read-modify-write INSIDE the reverse cond: no cond
+      carries AND dead bounces skip the accumulation entirely (the
+      remaining ~0.6 ms the acc_outside layout still paid)."""
     dbg_skip_reverse = "skip_reverse" in dbg
     dbg_skip_prim = "skip_prim" in dbg
     assert not dbg_skip_reverse or lean, "dbg skip_reverse supports lean only"
-    acc_outside = "acc_outside" in tune
+    acc_scratch = "acc_scratch" in tune
+    acc_outside = "acc_outside" in tune and not acc_scratch
+    recompute_u = "recompute_u" in tune
+    assert not recompute_u or (rng_impl == "hash" and lean), \
+        "recompute_u requires the counter-based hash RNG and the lean stash"
     n_spheres = s_cols.shape[1]
     n_planes = p_cols.shape[1]
     f32 = jnp.float32
@@ -855,13 +867,17 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
     # cotangent output.
     fwd_eo = lean and "fwd_dense" not in tune
     rev_eo = (lean and "rev_dense" not in tune
-              and (acc_outside or (n_spheres + n_planes) <= 32))
+              and (acc_outside or acc_scratch
+                   or (n_spheres + n_planes) <= 32))
     # wide per-primitive accumulators: (rows,128) running sums per
     # (slot, primitive) — gate on VMEM footprint
     wide = (9 * (n_spheres + n_planes) * rows * 128 * 4) <= (2 << 20)
     inv_spp = 1.0 / spp
 
-    def kernel(cam_ref, seed_ref, tgt_ref, loss_ref, sg_ref, pg_ref, cg_ref):
+    def kernel(cam_ref, seed_ref, tgt_ref, loss_ref, sg_ref, pg_ref, cg_ref,
+               *scratch):
+        if acc_scratch:
+            (acc_ref,) = scratch
         tile = pl.program_id(0)
 
         lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
@@ -1016,9 +1032,17 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                 (ox, oy, oz, dx, dy, dz, tr, tg, tb, live,
                  img[0], img[1], img[2]) = out[:13]
                 if lean:
-                    stash.append(dict(
-                        o=o_prev, d=d_prev, thr=thr_prev, u=(ux, uy, uz),
-                        packed=out[13], bidx=out[14], anyl=anyl))
+                    ent = dict(
+                        o=o_prev, d=d_prev, thr=thr_prev,
+                        packed=out[13], bidx=out[14], anyl=anyl)
+                    if recompute_u:
+                        # hash draws are re-evaluable: ctr layout per sample
+                        # is [jitter u,v] then 4 per bounce (ux,uy,uz,coin)
+                        ent["useed"] = seed_ref[s]
+                        ent["uctr"] = 3 + 4 * b
+                    else:
+                        ent["u"] = (ux, uy, uz)
+                    stash.append(ent)
                 else:
                     stash.append(dict(
                         o=o_prev, d=d_prev, thr=thr_prev,
@@ -1043,6 +1067,9 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
         # partials.  Cross-lane reduction happens once, at the write-out.
         acc0 = zero if wide else jnp.zeros((1, 128), f32)
         accs = [acc0] * (9 * (n_spheres + n_planes))
+        if acc_scratch:
+            for pos in range(9 * (n_spheres + n_planes)):
+                acc_ref[pos, :, :] = zero
 
         def s_pos(k, si):
             return k * n_spheres + si
@@ -1102,6 +1129,18 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                                    pay=(rcx, rcy, rcz, rrad, rpnx, rpny,
                                         rpnz, rpdd, rar, rag, rab, rrf, rrg),
                                    bpl=isplb.astype(f32))
+                        if recompute_u:
+                            # bit-exact replay of the forward's draws +
+                            # transform + normalize (same expressions)
+                            ru = [_hash_u01(idx, st["useed"], st["uctr"] + i,
+                                            (rows, 128)) for i in range(3)]
+                            if rng_mode == "sphere":
+                                ru = [2.0 * x - 1.0 for x in ru]
+                            ruinv = jax.lax.rsqrt(jnp.maximum(
+                                ru[0] * ru[0] + ru[1] * ru[1]
+                                + ru[2] * ru[2], 1e-30))
+                            stl["u"] = (ru[0] * ruinv, ru[1] * ruinv,
+                                        ru[2] * ruinv)
                     else:
                         stl = st
 
@@ -1124,33 +1163,71 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                             stl["bidx"], stl["bpl"])
 
                 def accumulate(accs, pay_cot, live_h_f, bidx, bplf):
+                    # 0/1-mask multiply (fuses to an FMA) instead of
+                    # where+add: exact for finite cotangents (mask * x is
+                    # x or +-0.0) and one op per (slot, prim) cheaper
                     accs = list(accs)
                     live_h = live_h_f > 0.0
                     sph_live = ~(bplf > 0.0) & live_h
                     pl_live = (bplf > 0.0) & live_h
                     for si in range(n_spheres):
-                        m = (bidx == f32(si)) & sph_live
+                        mf = ((bidx == f32(si)) & sph_live).astype(f32)
                         for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
                             if wide:
                                 accs[s_pos(k, si)] = accs[s_pos(k, si)] + \
-                                    jnp.where(m, pay_cot[cslot], 0.0)
+                                    mf * pay_cot[cslot]
                             else:
                                 accs[s_pos(k, si)] = accs[s_pos(k, si)] + \
-                                    jnp.sum(m.astype(f32) * pay_cot[cslot],
+                                    jnp.sum(mf * pay_cot[cslot],
                                             axis=0, keepdims=True)
                     for pi in range(n_planes):
-                        m = (bidx == f32(pi)) & pl_live
+                        mf = ((bidx == f32(pi)) & pl_live).astype(f32)
                         for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
                             if wide:
                                 accs[p_pos(k, pi)] = accs[p_pos(k, pi)] + \
-                                    jnp.where(m, pay_cot[cslot], 0.0)
+                                    mf * pay_cot[cslot]
                             else:
                                 accs[p_pos(k, pi)] = accs[p_pos(k, pi)] + \
-                                    jnp.sum(m.astype(f32) * pay_cot[cslot],
+                                    jnp.sum(mf * pay_cot[cslot],
                                             axis=0, keepdims=True)
                     return accs
 
-                if acc_outside:
+                def accumulate_scratch(pay_cot, live_h_f, bidx, bplf):
+                    live_h = live_h_f > 0.0
+                    sph_live = ~(bplf > 0.0) & live_h
+                    pl_live = (bplf > 0.0) & live_h
+                    for si in range(n_spheres):
+                        mf = ((bidx == f32(si)) & sph_live).astype(f32)
+                        for k, cslot in enumerate((0, 1, 2, 3, 8, 9, 10, 11, 12)):
+                            pos = s_pos(k, si)
+                            acc_ref[pos, :, :] = acc_ref[pos, :, :] + \
+                                mf * pay_cot[cslot]
+                    for pi in range(n_planes):
+                        mf = ((bidx == f32(pi)) & pl_live).astype(f32)
+                        for k, cslot in enumerate((4, 5, 6, 7, 8, 9, 10, 11, 12)):
+                            pos = p_pos(k, pi)
+                            acc_ref[pos, :, :] = acc_ref[pos, :, :] + \
+                                mf * pay_cot[cslot]
+
+                if acc_scratch:
+                    # accumulators in scratch VMEM: read-modify-write inside
+                    # the cond — no carries, and dead bounces skip the adds
+                    def rev_core_s(carry, st=st):
+                        co_p, cd_p, ct_p, pay_cot, lhf, bidx, bplf = \
+                            rebuild_vjp(carry[0:3], carry[3:6], carry[6:9],
+                                        st=st)
+                        if not dbg_skip_prim:
+                            accumulate_scratch(pay_cot, lhf, bidx, bplf)
+                        return tuple(co_p) + tuple(cd_p) + tuple(ct_p)
+
+                    carry = tuple(co) + tuple(cd) + tuple(ct)
+                    out = (rev_core_s(carry) if not rev_eo else
+                           jax.lax.cond(st["anyl"], rev_core_s,
+                                        lambda c: tuple(c), carry))
+                    co = list(out[0:3])
+                    cd = list(out[3:6])
+                    ct = list(out[6:9])
+                elif acc_outside:
                     # the cond returns only the winner cotangents +
                     # attribution masks; the running per-primitive sums
                     # never ride a cond carry (the round-3 profile's 88%)
@@ -1218,11 +1295,15 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
             cg_ref[0, 0, 15] = f32(0.0)
         for k in range(9):
             for si in range(S_pad):
-                sg_ref[0, k, si] = (jnp.sum(accs[s_pos(k, si)])
-                                    if si < n_spheres else f32(0.0))
+                sg_ref[0, k, si] = (
+                    jnp.sum(acc_ref[s_pos(k, si), :, :] if acc_scratch
+                            else accs[s_pos(k, si)])
+                    if si < n_spheres else f32(0.0))
             for pi in range(P_pad):
-                pg_ref[0, k, pi] = (jnp.sum(accs[p_pos(k, pi)])
-                                    if pi < n_planes else f32(0.0))
+                pg_ref[0, k, pi] = (
+                    jnp.sum(acc_ref[p_pos(k, pi), :, :] if acc_scratch
+                            else accs[p_pos(k, pi)])
+                    if pi < n_planes else f32(0.0))
 
     return kernel
 
@@ -1243,6 +1324,11 @@ def _compiled_mono(scene_bytes, shapes, *, width, height, spp, max_bounces,
     n_tiles = -(-n // (rows * 128))
     S_pad = max(s_cols.shape[1], 1)
     P_pad = max(p_cols.shape[1], 1)
+    scratch_shapes = []
+    if "acc_scratch" in tune:
+        n_acc = 9 * (s_cols.shape[1] + p_cols.shape[1])
+        scratch_shapes.append(
+            pltpu.VMEM((max(n_acc, 1), rows, 128), jnp.float32))
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1252,6 +1338,7 @@ def _compiled_mono(scene_bytes, shapes, *, width, height, spp, max_bounces,
                 pl.BlockSpec((1, 3, rows, 128), lambda i, *_: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
+            scratch_shapes=scratch_shapes,
             out_specs=(
                 pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -1331,11 +1418,11 @@ def pallas_mse_loss_and_grad(
     rng_mode: str = "reference",
     lean: bool = True,
     fwd_rows: Optional[int] = None,
-    rng_impl: str = "hw",
+    rng_impl: str = "hash",
     interpret: bool = False,
     mode: str = "mono",
     residuals: str = "recompute",
-    tune: tuple = (),
+    tune: Optional[tuple] = None,
 ):
     """MSE loss + scene-parameter gradients, everything on-chip.
 
@@ -1378,6 +1465,16 @@ def pallas_mse_loss_and_grad(
             mode = "multi"
     if not pallas_grad_supported(concrete, lean=lean):
         raise ValueError("scene exceeds the fused grad kernel limits")
+    if tune is None:
+        # measured round-3 defaults (v5e-1, headline shape): scratch-ref
+        # accumulators + dense forward + reverse-time RNG replay; see
+        # _make_mono_kernel's tune docstring for the cost splits
+        if mode == "mono" and lean:
+            tune = ("acc_scratch", "fwd_dense")
+            if rng_impl == "hash":
+                tune += ("recompute_u",)
+        else:
+            tune = ()
 
     s_cols, p_cols = _flatten_primitives(concrete, personality)
     common = dict(
@@ -1422,12 +1519,12 @@ def make_mse_step(
     rng_mode: str = "reference",
     lean: bool = True,
     fwd_rows: Optional[int] = None,
-    rng_impl: str = "hw",
+    rng_impl: str = "hash",
     interpret: bool = False,
     mode: str = "mono",
     residuals: str = "recompute",
     dbg: tuple = (),
-    tune: tuple = (),
+    tune: Optional[tuple] = None,
 ):
     """Prebuilt fwd+bwd step: ``step(seed) -> (loss, grads)``.
 
@@ -1472,6 +1569,16 @@ def make_mse_step(
             mode = "multi"
     if not pallas_grad_supported(concrete, lean=lean):
         raise ValueError("scene exceeds the fused grad kernel limits")
+    if tune is None:
+        # measured round-3 defaults (v5e-1, headline shape): scratch-ref
+        # accumulators + dense forward + reverse-time RNG replay; see
+        # _make_mono_kernel's tune docstring for the cost splits
+        if mode == "mono" and lean:
+            tune = ("acc_scratch", "fwd_dense")
+            if rng_impl == "hash":
+                tune += ("recompute_u",)
+        else:
+            tune = ()
 
     s_cols, p_cols = _flatten_primitives(concrete, personality)
     common = dict(

@@ -62,18 +62,27 @@ def trace_batch_recorded(
     personality: str = "mg",
     max_bounces: Optional[int] = None,
     rng_mode: str = "reference",
+    hit_fn=None,
 ):
     """Forward trace emitting (radiance, PathRecords).  Mirrors
     rt_tpu.integrator.trace_batch exactly (same RNG folds, same update
-    order) — kept in sync by test_replay.py's bitwise checks."""
+    order) — kept in sync by test_replay.py's bitwise checks.
+
+    ``hit_fn`` overrides the closest-hit like trace_batch's — with
+    rt_tpu.dist.sharded_hit_fn the recorded sphere winner index is the
+    GLOBAL index (shard offset already added), which is what the sharded
+    replay consumes."""
     if max_bounces is None:
         max_bounces = scene.max_bounces
     classes = personality_classes(personality)
     n = origins.shape[0]
+    if hit_fn is None:
+        def hit_fn(o, d):
+            return closest_hit(scene.spheres, scene.planes, scene.boxes, o, d)
 
     def body(state, b):
         o, d, thr, rad, live = state
-        rec = closest_hit(scene.spheres, scene.planes, scene.boxes, o, d)
+        rec = hit_fn(o, d)
         from .integrator import sky_colour
 
         miss_now = live & ~rec.hit
@@ -121,6 +130,7 @@ def replay_radiance(
     max_bounces: Optional[int] = None,
     rng_mode: str = "reference",
     draws=None,
+    prims_axis: Optional[str] = None,
 ) -> jax.Array:
     """Differentiable radiance with the discrete path structure pinned to
     ``records``.  O(1) work per ray per bounce (plus one-hot contractions
@@ -129,7 +139,16 @@ def replay_radiance(
     ``draws``: optional (unit_vectors (B, N, 3), coins (B, N)) to use
     instead of regenerating the threefry stream — used when the records
     come from the Pallas megakernel, whose hardware-PRNG draws the replay
-    must match."""
+    must match.
+
+    ``prims_axis``: global-winner replay under a shard_map whose mesh
+    shards the sphere table along this axis.  ``records.idx`` carries
+    GLOBAL sphere indices (rt_tpu.dist.sharded_hit_fn); each shard
+    one-hot-fetches the winners living in its slice and the payloads
+    (centre, radius, material id) are combined with a ``psum`` over the
+    axis — exactly one shard contributes per lane, so values match the
+    replicated fetch and the psum transpose routes the parameter
+    cotangents back to the owning shard's table slice."""
     if max_bounces is None:
         max_bounces = scene.max_bounces
     classes = personality_classes(personality)
@@ -148,12 +167,24 @@ def replay_radiance(
         hit = r.kind > 0
 
         # --- differentiable hit for the recorded primitive ---------------
-        s_onehot = jax.nn.one_hot(jnp.where(is_sphere, r.idx, 0), S, dtype=jnp.float32)
-        s_onehot = s_onehot * is_sphere[:, None]
+        if prims_axis is None:
+            sid = jnp.where(is_sphere, r.idx, 0)
+            s_sel = is_sphere
+        else:
+            # local slice of the sharded table: mask to winners owned here
+            off = jax.lax.axis_index(prims_axis).astype(jnp.int32) * S
+            lid = r.idx - off
+            s_sel = is_sphere & (lid >= 0) & (lid < S)
+            sid = jnp.clip(jnp.where(s_sel, lid, 0), 0, S - 1)
+        s_onehot = jax.nn.one_hot(sid, S, dtype=jnp.float32)
+        s_onehot = s_onehot * s_sel[:, None]
         c = jnp.matmul(s_onehot, scene.spheres.center,
                        precision="highest")                  # (N, 3)
         radius = jnp.matmul(s_onehot, scene.spheres.radius,
                             precision="highest")             # (N,)
+        if prims_axis is not None:
+            c = jax.lax.psum(c, prims_axis)
+            radius = jax.lax.psum(radius, prims_axis)
         oc = o - c
         bq = jnp.sum(oc * d, axis=-1)
         c0 = jnp.sum(oc * oc, axis=-1) - radius * radius
@@ -178,9 +209,13 @@ def replay_radiance(
 
         # material id: integer gathers (no tangents); indices clamped to the
         # owning table to keep out-of-class lanes in bounds
-        s_idx = jnp.where(is_sphere, r.idx, 0)
         p_idx = jnp.where(is_plane, r.idx, 0)
-        mat = jnp.where(is_sphere, scene.spheres.material[s_idx],
+        if prims_axis is None:
+            s_mat = scene.spheres.material[jnp.where(is_sphere, r.idx, 0)]
+        else:
+            s_mat = jax.lax.psum(
+                jnp.where(s_sel, scene.spheres.material[sid], 0), prims_axis)
+        mat = jnp.where(is_sphere, s_mat,
                         scene.planes.material[p_idx]).astype(jnp.int32)
 
         # --- sky contribution (recorded miss mask) ------------------------
@@ -228,17 +263,25 @@ def trace_batch_replay(
     personality: str = "mg",
     max_bounces: Optional[int] = None,
     rng_mode: str = "reference",
+    hit_fn=None,
+    prims_axis: Optional[str] = None,
     **_unused,
 ) -> jax.Array:
     """trace_batch with replay-mode gradients: same value, detached-sampling
-    gradient at a fraction of the backward cost."""
+    gradient at a fraction of the backward cost.
+
+    On a prims-sharded mesh pass the sharded ``hit_fn`` (whose records carry
+    global winner indices) together with ``prims_axis``; the replay then
+    runs the global-winner fetch + psum path (see replay_radiance)."""
     _, records = jax.lax.stop_gradient(
         trace_batch_recorded(
             scene, origins, dirs, key,
-            personality=personality, max_bounces=max_bounces, rng_mode=rng_mode,
+            personality=personality, max_bounces=max_bounces,
+            rng_mode=rng_mode, hit_fn=hit_fn,
         )
     )
     return replay_radiance(
         scene, origins, dirs, key, records,
         personality=personality, max_bounces=max_bounces, rng_mode=rng_mode,
+        prims_axis=prims_axis,
     )

@@ -84,3 +84,43 @@ def test_mesh_shapes():
     assert m.shape == {"rays": 8, "prims": 1}
     m = dist.make_mesh(n_prims=2)
     assert m.shape == {"rays": 4, "prims": 2}
+
+
+def test_sharded_replay_gradients_match(setup):
+    """grad_mode='replay' on a prims-sharded (2,4) mesh must match the
+    single-device replay gradients (round-2 VERDICT item 5: global-winner
+    replay instead of the warn-and-downgrade-to-autodiff path)."""
+    s = rt_tpu.scene.make_procedural_scene(100, spp=1)
+    key = rt_tpu.rng.make_key(3)
+    size = (32, 16)
+    params = diff.extract_params(s)
+    target = jnp.zeros((16, 32, 3))
+    ref_fn = jax.jit(lambda p: jax.value_and_grad(diff.image_loss)(
+        p, s, target, size, key, spp=1, max_bounces=3, ray_chunk=128,
+        grad_mode="replay"))
+    loss0, g0 = ref_fn(params)
+    mesh = dist.make_mesh(2, 4)
+    sh_fn = jax.jit(lambda p: jax.value_and_grad(diff.image_loss)(
+        p, s, target, size, key, spp=1, max_bounces=3, ray_chunk=128,
+        grad_mode="replay",
+        render_fn=lambda sc, sz, k, **o: dist.render_image_sharded(
+            sc, sz, k, mesh, **o)))
+    loss1, g1 = sh_fn(params)
+    assert float(loss1) == pytest.approx(float(loss0), rel=1e-6)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_sharded_replay_value_bitwise(setup):
+    """The sharded replay's forward value is bit-identical to unsharded."""
+    s = rt_tpu.scene.make_procedural_scene(100, spp=1)
+    key = rt_tpu.rng.make_key(7)
+    ref = np.asarray(rt_tpu.integrator.render_image(
+        s, (32, 16), key, spp=1, max_bounces=3, ray_chunk=128,
+        grad_mode="replay"))
+    mesh = dist.make_mesh(2, 4)
+    img = np.asarray(dist.render_image_sharded(
+        s, (32, 16), key, mesh, spp=1, max_bounces=3, ray_chunk=128,
+        grad_mode="replay"))
+    np.testing.assert_array_equal(img, ref)
