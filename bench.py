@@ -121,9 +121,10 @@ def main():
                     help="mesh scaling-efficiency ladder instead of the "
                          "headline fwd+bwd benchmark")
     ap.add_argument("--iters", type=int, default=32,
-                    help="timed fwd+bwd steps (async-pipelined, blocked once "
-                         "at the end: sustained throughput; 32 steps amortize "
-                         "the ~25-50 ms host->TPU dispatch round trip)")
+                    help="steps per timed window; the metric is the MEDIAN "
+                         "over 5 async-pipelined windows (blocked once per "
+                         "window), via rt_tpu.profiling.sustained — the "
+                         "same measurement tools/bench_table.py uses")
     args = ap.parse_args()
 
     if args.scaling:
@@ -212,12 +213,15 @@ def main():
         loss, grads = fwd_bwd(params, 0)
         jax.block_until_ready(grads)
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        loss, grads = fwd_bwd(params, i)
-    jax.block_until_ready(grads)
-    secs = (time.perf_counter() - t0) / iters
+    # unified measurement (rt_tpu.profiling.sustained, shared with
+    # tools/bench_table.py): median of >=5 pipelined windows + dispersion
+    from rt_tpu.profiling import sustained
+
+    stats = sustained(lambda i: fwd_bwd(params, i)[1], iters=iters,
+                      windows=1 if args.quick else 5)
+    secs = stats["median"]
     mrays = size[0] * size[1] * spp / secs / 1e6
+    rate = lambda s: size[0] * size[1] * spp / s / 1e6
 
     # gradient sanity: finite + a smooth-path FD check on reflectivity.
     # When the fused Pallas kernel produced the benched gradients, the FD
@@ -259,6 +263,8 @@ def main():
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs_baseline, 3),
+        # dispersion across the measured windows (median is the headline)
+        "spread": [round(rate(stats["max"]), 1), round(rate(stats["min"]), 1)],
     }))
 
 

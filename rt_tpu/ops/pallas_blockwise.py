@@ -93,11 +93,15 @@ _LANES = 128      # rays per grid step
 _COLS = 16        # padded payload columns (10 used)
 
 
-def blockwise_supported(scene) -> bool:
-    """Whether the blockwise megakernel can handle this scene."""
+def blockwise_supported(scene, include_boxes: bool = False) -> bool:
+    """Whether the blockwise megakernel can handle this scene.  Box scenes
+    are fine under tracer semantics (the reference's box stub never hits,
+    mg_ray_tracer.cpp:89-93 — the kernel simply has no box scan); the
+    ``--boxes`` extension (include_boxes=True) is only in the unrolled
+    kernel and the jnp path."""
     return (
         scene.spheres.count + scene.planes.count <= MAX_BLOCKWISE_PRIMS
-        and scene.boxes.count == 0  # the path tracers never hit boxes anyway
+        and not (include_boxes and scene.boxes.count > 0)
     )
 
 
@@ -987,6 +991,7 @@ def render_forward_blockwise(
     scan: Optional[str] = None,
     cull: Optional[bool] = None,
     order: Optional[str] = None,
+    include_boxes: bool = False,
     **_unused,
 ) -> jax.Array:
     """Render a full frame with the blockwise megakernel.  (H, W, 3) f32.
@@ -996,10 +1001,11 @@ def render_forward_blockwise(
     the compiled kernel is reused across scene edits as long as the padded
     table bucket, image size and bounce count are unchanged.
     """
-    if not blockwise_supported(scene):
+    if not blockwise_supported(scene, include_boxes):
         raise ValueError(
             "scene exceeds the blockwise megakernel limits "
-            f"({MAX_BLOCKWISE_PRIMS} primitives, no boxes) — use the jnp path"
+            f"({MAX_BLOCKWISE_PRIMS} primitives; --boxes needs the unrolled "
+            "kernel or the jnp path)"
         )
     w, h = size
     if spp is None:

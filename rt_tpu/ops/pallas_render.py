@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..materials import personality_classes
 
 __all__ = ["render_forward_pallas", "make_render_step", "pallas_supported",
-           "MAX_UNROLL_PRIMS"]
+           "MAX_UNROLL_PRIMS", "_flatten_boxes"]
 
 _BIG = 3.0e38
 _MIN_HIT = 0.001
@@ -70,12 +70,19 @@ _MIN_HIT = 0.001
 MAX_UNROLL_PRIMS = 640
 
 
-def pallas_supported(scene) -> bool:
-    """Whether the unrolled megakernel can handle this scene."""
-    return (
-        scene.spheres.count + scene.planes.count <= MAX_UNROLL_PRIMS
-        and scene.boxes.count == 0  # the path tracers never hit boxes anyway
-    )
+def pallas_supported(scene, include_boxes: bool = False) -> bool:
+    """Whether the unrolled megakernel can handle this scene.
+
+    Box scenes are supported: with the default ``include_boxes=False`` the
+    boxes are simply never tested — exactly the reference's box stub
+    (mg_ray_tracer.cpp:89-93), so parity is untouched and box scenes no
+    longer demote to the ~20x-slower jnp wavefront.  With
+    ``include_boxes=True`` (the repo's ``--boxes`` extension) the slab
+    test is baked into the kernel like spheres/planes."""
+    n = scene.spheres.count + scene.planes.count
+    if include_boxes:
+        n += scene.boxes.count
+    return n <= MAX_UNROLL_PRIMS
 
 
 def _flatten_primitives(scene, personality: str):
@@ -114,6 +121,25 @@ def _flatten_primitives(scene, personality: str):
     return s_cols, p_cols
 
 
+def _flatten_boxes(scene, personality: str) -> np.ndarray:
+    """Per-box constant columns for the ``--boxes`` extension.
+    Rows: [cx, cy, cz, ex, ey, ez, alb_r, alb_g, alb_b, refl, rough, cls]."""
+    classes = np.asarray(personality_classes(personality))
+    count = scene.boxes.count
+    cols = np.zeros((12, count), np.float32)
+    if count:
+        c = np.asarray(scene.boxes.center)[:count]
+        e = np.asarray(scene.boxes.extents)[:count]
+        m = np.asarray(scene.boxes.material)[:count]
+        cols[0:3] = c.T
+        cols[3:6] = e.T
+        cols[6:9] = np.asarray(scene.materials.albedo)[m][:, :3].T
+        cols[9] = np.asarray(scene.materials.reflectivity)[m]
+        cols[10] = np.asarray(scene.materials.roughness)[m]
+        cols[11] = classes[np.asarray(scene.materials.type)[m]]
+    return cols
+
+
 def _u01(shape):
     """U[0,1) from the hardware PRNG.  The raw bits come back as int32 —
     bitcast to uint32 so the shift is logical; after `>> 8` the value fits
@@ -144,7 +170,8 @@ def _hash_u01(pix, seed, ctr: int, shape):
 
 def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                  max_bounces, rows, rng_mode, center_sample, record=False,
-                 rng_impl="hw"):
+                 rng_impl="hw", b_cols=None, include_boxes=False,
+                 frames=1, n_tiles=None):
     """Build the unrolled kernel body with primitive constants closed over.
 
     The kernel writes the SUM of pre-gamma radiance over its ``spp_unroll``
@@ -164,13 +191,19 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
     # big-table scans win large (the blockwise kernel's same trick).  Gate
     # on primitive count; record mode must stay dense (its residual refs
     # are written every bounce).
-    early_out = (s_cols.shape[1] + p_cols.shape[1]) >= 64 and not record
+    n_boxes = b_cols.shape[1] if (include_boxes and b_cols is not None) else 0
+    assert not (record and n_boxes), "record mode has no box support (replay)"
+    early_out = (s_cols.shape[1] + p_cols.shape[1] + n_boxes) >= 64 \
+        and not record
     # class-presence specialization: when the baked scene has no metal /
     # dielectric primitives those scatter blocks have all-false select
     # masks — skipping them is bit-exact and saves ~60 ops/bounce of
     # Fresnel math (see rt_tpu.ops.pallas_grad._bounce_smooth)
     has_met = bool((s_cols[9] == 1.0).any()) or bool((p_cols[9] == 1.0).any())
     has_die = bool((s_cols[9] == 2.0).any()) or bool((p_cols[9] == 2.0).any())
+    if n_boxes:
+        has_met = has_met or bool((b_cols[11] == 1.0).any())
+        has_die = has_die or bool((b_cols[11] == 2.0).any())
     n_spheres = s_cols.shape[1]
     n_planes = p_cols.shape[1]
     f32 = jnp.float32
@@ -181,9 +214,18 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
         if record:
             (kind_ref, idx_ref, bits_ref, urx_ref, ury_ref, urz_ref,
              coin_ref, jit_ref) = rec_refs
-        tile = pl.program_id(0)
+        if frames > 1:
+            # batched-frame grid (k frames x n_tiles): amortizes the
+            # per-dispatch floor for small frames (round-2 VERDICT item 10)
+            gid = pl.program_id(0)
+            fid = gid // n_tiles
+            tile = gid % n_tiles
+            seed0 = seed_ref[fid]
+        else:
+            tile = pl.program_id(0)
+            seed0 = seed_ref[0]
         if rng_impl == "hw":
-            pltpu.prng_seed(seed_ref[0] + tile * jnp.int32(1000003))
+            pltpu.prng_seed(seed0 + tile * jnp.int32(1000003))
 
         lane_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
@@ -197,7 +239,7 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
             if rng_impl == "hw":
                 return _u01((rows, 128))
             draw_ctr[0] += 1
-            return _hash_u01(idx, seed_ref[0], draw_ctr[0], (rows, 128))
+            return _hash_u01(idx, seed0, draw_ctr[0], (rows, 128))
 
         cpx, cpy, cpz = cam_ref[0], cam_ref[1], cam_ref[2]
         r = [cam_ref[3 + i] for i in range(9)]
@@ -265,6 +307,9 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                     bpl = zero
                     b_idx = zero   # winner index (record mode)
                     b_root = zero  # sphere near-root bit (record mode)
+                    bbxf = zero    # box-winner flag (include_boxes)
+                    bbcx = bbcy = bbcz = zero   # winner box centre
+                    bbex = bbey = bbez = one    # winner box extents (clamped)
 
                     for p in range(n_planes):
                         pnx, pny, pnz, pdd = (float(p_cols[i, p]) for i in range(4))
@@ -315,6 +360,54 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                             b_idx = jnp.where(ok, f32(si), b_idx)
                             b_root = jnp.where(ok, (t0 >= _MIN_HIT).astype(f32), b_root)
 
+                    if n_boxes:
+                        # slab test, baked constants (--boxes extension;
+                        # semantics = ops/intersect.hit_boxes: scanned last
+                        # with strict '<', rays starting inside hit the
+                        # exit face, first-min box wins among boxes)
+                        invx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx,
+                                               f32(1e-12))
+                        invy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy,
+                                               f32(1e-12))
+                        invz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz,
+                                               f32(1e-12))
+                    for bi in range(n_boxes):
+                        bcx_, bcy_, bcz_ = (float(b_cols[i, bi])
+                                            for i in range(3))
+                        bex_, bey_, bez_ = (float(b_cols[i, bi])
+                                            for i in range(3, 6))
+                        tax = (bcx_ - bex_ - ox) * invx
+                        tbx = (bcx_ + bex_ - ox) * invx
+                        tay = (bcy_ - bey_ - oy) * invy
+                        tby = (bcy_ + bey_ - oy) * invy
+                        taz = (bcz_ - bez_ - oz) * invz
+                        tbz = (bcz_ + bez_ - oz) * invz
+                        tmn = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tax, tbx),
+                                        jnp.minimum(tay, tby)),
+                            jnp.minimum(taz, tbz))
+                        tmx = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tax, tbx),
+                                        jnp.maximum(tay, tby)),
+                            jnp.maximum(taz, tbz))
+                        tt = jnp.where(tmn >= _MIN_HIT, tmn, tmx)
+                        ok = (tmx >= tmn) & (tt >= _MIN_HIT) & (tt < best_t)
+                        best_t = jnp.where(ok, tt, best_t)
+                        bbcx = jnp.where(ok, bcx_, bbcx)
+                        bbcy = jnp.where(ok, bcy_, bbcy)
+                        bbcz = jnp.where(ok, bcz_, bbcz)
+                        bbex = jnp.where(ok, max(bex_, 1e-12), bbex)
+                        bbey = jnp.where(ok, max(bey_, 1e-12), bbey)
+                        bbez = jnp.where(ok, max(bez_, 1e-12), bbez)
+                        bar = jnp.where(ok, float(b_cols[6, bi]), bar)
+                        bag = jnp.where(ok, float(b_cols[7, bi]), bag)
+                        bab = jnp.where(ok, float(b_cols[8, bi]), bab)
+                        brf = jnp.where(ok, float(b_cols[9, bi]), brf)
+                        brg = jnp.where(ok, float(b_cols[10, bi]), brg)
+                        bcl = jnp.where(ok, float(b_cols[11, bi]), bcl)
+                        bpl = jnp.where(ok, f32(0.0), bpl)
+                        bbxf = jnp.where(ok, f32(1.0), bbxf)
+
                     hit = best_t < f32(1e37)
 
                     # sky on miss (mg_ray_tracer.cpp:164)
@@ -336,6 +429,26 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                     nx = jnp.where(ispl, bpnx, snx * sinv)
                     ny = jnp.where(ispl, bpny, sny * sinv)
                     nz = jnp.where(ispl, bpnz, snz * sinv)
+                    if n_boxes:
+                        # outward slab-face normal: sign of the dominant
+                        # component of the extent-scaled local hit position
+                        # (first axis wins a tie, = jnp argmax semantics)
+                        isbx = bbxf > 0.0
+                        blx = (hx - bbcx) / bbex
+                        bly = (hy - bbcy) / bbey
+                        blz = (hz - bbcz) / bbez
+                        axx = jnp.abs(blx)
+                        axy = jnp.abs(bly)
+                        axz = jnp.abs(blz)
+                        is_x = (axx >= axy) & (axx >= axz)
+                        is_y = (~is_x) & (axy >= axz)
+                        is_z = ~(is_x | is_y)
+                        bnx = jnp.where(is_x, jnp.sign(blx), 0.0)
+                        bny = jnp.where(is_y, jnp.sign(bly), 0.0)
+                        bnz = jnp.where(is_z, jnp.sign(blz), 0.0)
+                        nx = jnp.where(isbx, bnx, nx)
+                        ny = jnp.where(isbx, bny, ny)
+                        nz = jnp.where(isbx, bnz, nz)
 
                     if rng_mode == "sphere":
                         # map U[0,1) -> [-1,1) before normalizing (approximation
@@ -464,10 +577,13 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
 @functools.lru_cache(maxsize=32)
 def _compiled_frame(scene_bytes, shapes, *, width, height, spp, spp_unroll,
                     max_bounces, rows, rng_mode, gamma, center_first,
-                    rng_impl="hw", interpret=False):
+                    rng_impl="hw", interpret=False, box_key=None, frames=1):
     """End-to-end jitted frame renderer: all sample-chunk kernels + mean +
     gamma + crop/reshape fused into ONE dispatch (eager chaining costs
-    ~10-15 ms per op through the remote tunnel)."""
+    ~10-15 ms per op through the remote tunnel).  ``frames`` batches k
+    independently-seeded frames into each kernel's grid (k x tiles),
+    amortizing the per-dispatch floor for small frames; the result gains a
+    leading frame axis."""
     chunk_sizes = []
     remaining = spp
     while remaining > 0:
@@ -478,22 +594,26 @@ def _compiled_frame(scene_bytes, shapes, *, width, height, spp, spp_unroll,
         _compiled(scene_bytes, shapes, spp_unroll=k, rng_mode=rng_mode,
                   center_sample=(i == 0 and center_first),
                   width=width, height=height, max_bounces=max_bounces,
-                  rows=rows, rng_impl=rng_impl, interpret=interpret)
+                  rows=rows, rng_impl=rng_impl, interpret=interpret,
+                  box_key=box_key, frames=frames)
         for i, k in enumerate(chunk_sizes)
     ]
     n = width * height
 
     @jax.jit
     def run(cam, seeds):
+        # seeds: (n_chunks, frames) int32
         total = None
         for ci, call in enumerate(calls):
-            out = call(cam, seeds[ci:ci + 1])
+            out = call(cam, seeds[ci])
             total = out if total is None else total + out
         img = total * jnp.float32(1.0 / spp)
         if gamma:
             img = jnp.sqrt(jnp.maximum(img, 0.0))
-        flat = img.transpose(0, 2, 3, 1).reshape(-1, 3)
-        return flat[:n].reshape(height, width, 3)
+        per = img.reshape(frames, -1, 3, img.shape[-2], img.shape[-1])
+        flat = per.transpose(0, 1, 3, 4, 2).reshape(frames, -1, 3)
+        out_imgs = flat[:, :n].reshape(frames, height, width, 3)
+        return out_imgs[0] if frames == 1 else out_imgs
 
     return run, len(chunk_sizes)
 
@@ -501,29 +621,34 @@ def _compiled_frame(scene_bytes, shapes, *, width, height, spp, spp_unroll,
 @functools.lru_cache(maxsize=64)
 def _compiled(scene_bytes, shapes, *, width, height, spp_unroll,
               max_bounces, rows, rng_mode, center_sample,
-              rng_impl="hw", interpret=False):
+              rng_impl="hw", interpret=False, box_key=None, frames=1):
     s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
     p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
+    b_cols = (np.frombuffer(box_key[0], np.float32).reshape(box_key[1])
+              if box_key is not None else None)
+    n = width * height
+    tile_px = rows * 128
+    n_tiles = -(-n // tile_px)
     kernel = _make_kernel(
         s_cols, p_cols, width=width, height=height,
         spp_unroll=spp_unroll, max_bounces=max_bounces, rows=rows,
         rng_mode=rng_mode, center_sample=center_sample, rng_impl=rng_impl,
+        b_cols=b_cols, include_boxes=box_key is not None,
+        frames=frames, n_tiles=n_tiles,
     )
-    n = width * height
-    tile_px = rows * 128
-    n_tiles = -(-n // tile_px)
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n_tiles,),
+            grid=(frames * n_tiles,),
             in_specs=[],
             out_specs=pl.BlockSpec(
                 (1, 3, rows, 128), lambda i, *_: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, rows, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((frames * n_tiles, 3, rows, 128),
+                                       jnp.float32),
         interpret=interpret,
     )
     return call
@@ -654,17 +779,20 @@ def render_forward_pallas(
     center_sample: Optional[bool] = None,
     rng_impl: str = "hw",
     interpret: bool = False,
+    include_boxes: bool = False,
     **_unused,
 ) -> jax.Array:
     """Render a full frame with the TPU megakernel.  Returns (H, W, 3) f32.
 
     The compiled kernel is cached by scene-content hash; camera pose and
     seed are runtime inputs (no recompile on camera motion).
+    ``include_boxes`` bakes the box slab test too (the ``--boxes``
+    extension; default off = the reference's box stub).
     """
-    if not pallas_supported(scene):
+    if not pallas_supported(scene, include_boxes):
         raise ValueError(
             "scene exceeds the unrolled megakernel limits "
-            f"({MAX_UNROLL_PRIMS} primitives, no boxes) — use the jnp path"
+            f"({MAX_UNROLL_PRIMS} primitives) — use the jnp path"
         )
     w, h = size
     if spp is None:
@@ -674,12 +802,16 @@ def render_forward_pallas(
     spp_unroll = min(spp_unroll, spp)
 
     s_cols, p_cols = _flatten_primitives(scene, personality)
+    box_key = None
+    if include_boxes and scene.boxes.count:
+        b_cols = _flatten_boxes(scene, personality)
+        box_key = (b_cols.tobytes(), b_cols.shape)
     run, n_chunks = _compiled_frame(
         (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
         width=w, height=h, spp=spp, spp_unroll=spp_unroll,
         max_bounces=max_bounces, rows=rows, rng_mode=rng_mode, gamma=gamma,
         center_first=(True if center_sample is None else center_sample),
-        rng_impl=rng_impl, interpret=interpret,
+        rng_impl=rng_impl, interpret=interpret, box_key=box_key,
     )
 
     cam = jnp.concatenate([
@@ -692,14 +824,19 @@ def render_forward_pallas(
     return run(cam, _chunk_seeds(seed, n_chunks))
 
 
-def _chunk_seeds(seed: int, n_chunks: int) -> jax.Array:
-    """Derive the per-sample-chunk seed chain (one tiny int32 upload)."""
-    seeds = []
-    chunk_seed = seed
-    for _ in range(n_chunks):
-        seeds.append(chunk_seed)
-        chunk_seed = int((chunk_seed * 1103515245 + 12345) % (2**31 - 1))
-    return jnp.asarray(seeds, jnp.int32)
+def _chunk_seeds(seed: int, n_chunks: int, frames: int = 1) -> jax.Array:
+    """Per-(sample-chunk, frame) seed matrix (one tiny int32 upload).
+    Column f is the LCG chain of ``seed + f`` — frame 0 of a batched step
+    reproduces the unbatched chain exactly."""
+    cols = []
+    for f in range(frames):
+        chunk_seed = seed + f
+        col = []
+        for _ in range(n_chunks):
+            col.append(chunk_seed)
+            chunk_seed = int((chunk_seed * 1103515245 + 12345) % (2**31 - 1))
+        cols.append(col)
+    return jnp.asarray(cols, jnp.int32).T  # (n_chunks, frames)
 
 
 def make_render_step(
@@ -716,8 +853,14 @@ def make_render_step(
     center_sample: Optional[bool] = None,
     rng_impl: str = "hw",
     interpret: bool = False,
+    include_boxes: bool = False,
+    frames: int = 1,
 ):
-    """Prebuilt frame renderer: ``step(seed=0, camera=None) -> (H, W, 3)``.
+    """Prebuilt frame renderer: ``step(seed=0, camera=None) -> (H, W, 3)``
+    — or ``(frames, H, W, 3)`` when ``frames`` > 1: k independently-seeded
+    frames per dispatch (seeds seed..seed+k-1, one kernel grid over
+    k x tiles), amortizing the fixed ~1.7 ms dispatch floor that dominates
+    config-1-sized frames (round-2 VERDICT item 10).
 
     The forward analogue of :func:`rt_tpu.ops.pallas_grad.make_mse_step`:
     table flattening, kernel lookup and the camera upload happen ONCE; each
@@ -729,10 +872,10 @@ def make_render_step(
     back to kernel-bound (~3 ms).  Intended for animation/interactive loops
     (the viewer's steady state) and serving.
     """
-    if not pallas_supported(scene):
+    if not pallas_supported(scene, include_boxes):
         raise ValueError(
             "scene exceeds the unrolled megakernel limits "
-            f"({MAX_UNROLL_PRIMS} primitives, no boxes) — use the jnp path"
+            f"({MAX_UNROLL_PRIMS} primitives) — use the jnp path"
         )
     w, h = size
     if spp is None:
@@ -742,12 +885,17 @@ def make_render_step(
     spp_unroll = min(spp_unroll, spp)
 
     s_cols, p_cols = _flatten_primitives(scene, personality)
+    box_key = None
+    if include_boxes and scene.boxes.count:
+        b_cols = _flatten_boxes(scene, personality)
+        box_key = (b_cols.tobytes(), b_cols.shape)
     run, n_chunks = _compiled_frame(
         (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
         width=w, height=h, spp=spp, spp_unroll=spp_unroll,
         max_bounces=max_bounces, rows=rows, rng_mode=rng_mode, gamma=gamma,
         center_first=(True if center_sample is None else center_sample),
-        rng_impl=rng_impl, interpret=interpret,
+        rng_impl=rng_impl, interpret=interpret, box_key=box_key,
+        frames=frames,
     )
 
     def _pack(camera) -> jax.Array:
@@ -763,6 +911,6 @@ def make_render_step(
 
     def step(seed: int = 0, camera=None) -> jax.Array:
         cam = cam0 if camera is None else _pack(camera)
-        return run(cam, _chunk_seeds(seed, n_chunks))
+        return run(cam, _chunk_seeds(seed, n_chunks, frames))
 
     return step

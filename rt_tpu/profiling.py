@@ -13,9 +13,43 @@ from typing import Optional
 
 import jax
 
-__all__ = ["RenderTimer", "trace", "counters", "mrays_per_sec"]
+__all__ = ["RenderTimer", "trace", "counters", "mrays_per_sec", "sustained"]
 
 counters: dict[str, float] = {}
+
+
+def sustained(step, iters: int = 32, windows: int = 5,
+              warmup_windows: int = 1) -> dict:
+    """THE benchmark measurement — shared by bench.py and
+    tools/bench_table.py so every published number means the same thing
+    (round-2 VERDICT item 5: one methodology, with dispersion).
+
+    Runs ``step(i)`` in ``windows`` async-pipelined windows of ``iters``
+    calls (blocked once per window — the steady serving/training shape;
+    single blocked calls additionally pay the ~25-50 ms host->TPU tunnel
+    round trip).  After ``warmup_windows`` discarded warm-up windows,
+    reports the MEDIAN per-step seconds plus min/max across windows.
+
+    Returns {"median": s, "min": s, "max": s, "windows": [s...]}.
+    """
+    out = step(0)
+    jax.block_until_ready(out)
+    ws = []
+    for w in range(warmup_windows + windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = step(i)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        if w >= warmup_windows:
+            ws.append(dt)
+    ws.sort()
+    return {
+        "median": ws[len(ws) // 2],
+        "min": ws[0],
+        "max": ws[-1],
+        "windows": ws,
+    }
 
 
 def mrays_per_sec(size: tuple[int, int], spp: int, seconds: float) -> float:

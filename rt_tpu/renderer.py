@@ -91,7 +91,7 @@ def create(name: str) -> Callable:
     return d.create()
 
 
-def auto_route(scene, platform: str) -> tuple:
+def auto_route(scene, platform: str, include_boxes: bool = False) -> tuple:
     """Pick the fastest supported forward path for ``mg_auto``/``sm_auto``.
 
     Returns ``(route, warning)`` with route in {"pallas", "blockwise",
@@ -184,7 +184,8 @@ def _install_builtins() -> None:
                 import jax
 
                 route, warning = auto_route(
-                    scene, jax.devices()[0].platform)
+                    scene, jax.devices()[0].platform,
+                    opts.get("include_boxes", False))
                 if warning is not None:
                     from .log import warn_once
 

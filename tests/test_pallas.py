@@ -352,3 +352,67 @@ def test_fused_step_auto_routing(monkeypatch):
     with pytest.raises(ValueError):
         pg.make_mse_step(diff.extract_params(too_big), too_big, tgt,
                          (16, 8), spp=2, max_bounces=4)
+
+
+def test_megakernel_boxes_parity():
+    """--boxes extension in the unrolled kernel: deterministic primary-hit
+    parity vs the jnp include_boxes path, and box scenes no longer rejected
+    with boxes OFF (the reference's box stub, mg_ray_tracer.cpp:89-93)."""
+    import rt_tpu
+    from rt_tpu.integrator import render_image
+    from rt_tpu.ops.pallas_render import pallas_supported, render_forward_pallas
+
+    s = rt_tpu.loads(
+        "materials = [ { type = 'lambert', albedo = 'red' },\n"
+        "              { type = 'metal', albedo = [0.9,0.9,0.9], roughness = 0.1 } ]\n"
+        "spheres = [ { material = 0, position = [-1.2, 0.5, -4.0], radius = 0.5 } ]\n"
+        "planes  = [ { material = 0, position = [0,0,0], normal = 'up' } ]\n"
+        "boxes   = [ { material = 1, position = [1.0, 0.5, -4.0], extents = [0.4,0.5,0.4] },\n"
+        "            { material = 0, position = [0.0, 0.25, -2.5], extents = [0.25,0.25,0.25] } ]\n"
+    )
+    assert pallas_supported(s)
+    assert pallas_supported(s, include_boxes=True)
+    key = rt_tpu.rng.make_key(0)
+    a = np.asarray(render_image(s, (48, 32), key, spp=1, max_bounces=1,
+                                include_boxes=True, gamma=False))
+    b = np.asarray(render_forward_pallas(
+        s, (48, 32), seed=0, spp=1, max_bounces=1, include_boxes=True,
+        gamma=False, rng_impl="hash", interpret=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # multi-bounce, boxes off: box scene runs through the kernel with the
+    # stub semantics (boxes never hit) and matches the jnp tracer's value
+    # statistically — here just finiteness + sky/shading sanity
+    c = np.asarray(render_forward_pallas(
+        s, (32, 24), seed=0, spp=2, max_bounces=3,
+        rng_impl="hash", interpret=True))
+    assert np.isfinite(c).all() and 0.1 < c.mean() < 1.0
+
+
+def test_auto_route_accepts_box_scenes():
+    from rt_tpu.renderer import auto_route
+
+    import rt_tpu
+
+    s = rt_tpu.loads(
+        "materials = [ { type = 'lambert' } ]\n"
+        "boxes = [ { material = 0 } ]\n"
+        "spheres = [ { material = 0 } ]\n"
+    )
+    # tracer semantics: no demotion with or without --boxes (small scene)
+    assert auto_route(s, "tpu")[0] == "pallas"
+    assert auto_route(s, "tpu", include_boxes=True)[0] == "pallas"
+
+
+def test_make_render_step_frame_batching():
+    """frames=k returns (k, H, W, 3); frame 0 bit-matches the unbatched
+    step (same seed chain) and other frames carry independent seeds."""
+    import rt_tpu
+    from rt_tpu.ops.pallas_render import make_render_step
+
+    s = rt_tpu.load("/root/reference/scenes/basic.toml")
+    kw = dict(spp=2, max_bounces=3, rng_impl="hash", interpret=True)
+    a = np.asarray(make_render_step(s, (64, 48), **kw)(seed=5))
+    b = np.asarray(make_render_step(s, (64, 48), frames=4, **kw)(seed=5))
+    assert b.shape == (4, 48, 64, 3)
+    np.testing.assert_array_equal(a, b[0])
+    assert not np.array_equal(b[0], b[1])

@@ -52,27 +52,13 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts), out
 
+    from rt_tpu.profiling import sustained as _sustained
+
     def sustained(step, iters=32):
-        """Pipelined steady-state rate (the per-call wrapper pays a
-        25-50 ms host->TPU tunnel round trip per blocked call; interactive
-        and serving loops run through prebuilt steps).  Dispatch warm-up
-        through the tunnel is slow to settle — run a warm window, then
-        report the best of two timed windows."""
-        out = step(0)
-        jax.block_until_ready(out)
-        windows = []
-        for w in range(3):
-            t0 = time.perf_counter()
-            for i in range(iters):
-                out = step(i)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / iters
-            if w:  # window 0 is warm-up
-                windows.append(dt)
-        # artifact guard: a window reading >3x faster than its sibling is a
-        # runtime hiccup (observed once: 0.2 ms for a 9 ms step), not perf
-        lo, hi = min(windows), max(windows)
-        return lo if lo * 3 > hi else hi
+        """Unified measurement: MEDIAN of 5 pipelined windows (the same
+        rt_tpu.profiling.sustained bench.py uses — round-2 VERDICT item 5:
+        one methodology everywhere, dispersion available)."""
+        return _sustained(step, iters=iters, windows=5)["median"]
 
     # --- config 1: basic 200x150 @ 1spp d4, parity posture ------------------
     s = rt_tpu.load("scenes/basic.toml")
@@ -84,6 +70,12 @@ def main():
                  f"{200*150*1/t/1e6:.0f} Mrays/s sustained ({t*1e3:.2f} ms/frame "
                  f"prebuilt step; {t_cold*1e3:.1f} ms per blocked eager call — "
                  "host round-trip latency, not compute)"))
+    step1b = make_render_step(s, (200, 150), spp=1, max_bounces=4, frames=16)
+    tb = sustained(step1b, iters=4) / 16
+    rows.append(("1: basic 200x150 @1spp d4 fwd, 16-frame batched dispatch",
+                 f"{200*150*1/tb/1e6:.0f} Mrays/s sustained "
+                 f"({tb*1e3:.2f} ms/frame — k seeds per kernel grid "
+                 "amortize the fixed dispatch floor)"))
 
     # --- config 2: basic 800x600 @ 16spp d8 fwd + fwd/bwd -------------------
     spp2 = 4 if args.fast else 16
@@ -189,6 +181,23 @@ def main():
                  "(blockwise fwd+bwd)",
                  f"{small[0]*small[1]*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step)"))
 
+    # --- config 4: full train step at the SPECIFIED 1080p shape -------------
+    if not args.fast:
+        tgt_hd = jnp.zeros((1080, 1920, 3), jnp.float32)
+        hd_step = make_bw_train_step(opt, s500, tgt_hd, (1920, 1080), spp=4,
+                                     max_bounces=8)
+        st_hd = opt.init(p500)
+
+        def one_hd(i, _p=[p500, st_hd]):
+            _p[0], _p[1], loss = hd_step(_p[0], _p[1], i)
+            return loss
+
+        t = sustained(one_hd, iters=2)
+        rows.append(("4: 500-sphere 1920x1080 @4spp d8 full train step "
+                     "(blockwise fwd+bwd, specified shape)",
+                     f"{1920*1080*4/t/1e6:.1f} Mrays/s ({t*1e3:.0f} ms/step; "
+                     f"128 spp ≈ {t*128/4:.0f} s/step)"))
+
     # --- config 5: 5000-sphere rate on a 4K slice ---------------------------
     s5k = rt_tpu.scene.make_procedural_scene(5000)
     t, _ = timeit(lambda i: render_forward_blockwise(
@@ -197,6 +206,28 @@ def main():
     rows.append(("5: 5000-sphere fwd rate (960x540 @2spp d8 slice, blockwise)",
                  f"{rb/t/1e9:.2f} Gray-bounces/s "
                  f"({rb*5120/t/1e12:.1f} T prim-tests/s)"))
+
+    # --- config 5: gradients + the end-to-end 4K frame ----------------------
+    if not args.fast:
+        p5k = diff.extract_params(s5k)
+        tgt5 = jnp.zeros((540, 960, 3), jnp.float32)
+        g5_step = make_bw_train_step(opt, s5k, tgt5, (960, 540), spp=2,
+                                     max_bounces=8)
+        st5k = opt.init(p5k)
+
+        def one5k(i, _p=[p5k, st5k]):
+            _p[0], _p[1], loss = g5_step(_p[0], _p[1], i)
+            return loss
+
+        t = sustained(one5k, iters=2)
+        rows.append(("5: 5000-sphere 960x540 @2spp d8 full train step "
+                     "(blockwise fwd+bwd)",
+                     f"{960*540*2/t/1e6:.1f} Mrays/s ({t*1e3:.0f} ms/step)"))
+    rows.append(("5: END-TO-END frame — 3840x2160 @256spp d8, 5000 spheres",
+                 "rendered once on device: 800.6 s wall (2.7 Mrays/s, "
+                 "0.02 G ray-bounces/s); preview at "
+                 "docs/config5_4k_preview.png (round-3 measurement — rerun "
+                 "with tools/tpu_worker job BA_4kframe to reproduce)"))
 
     md = ["# BENCH_TABLE — measured on the attached TPU chip", "",
           "| Config | Result |", "|---|---|"]
