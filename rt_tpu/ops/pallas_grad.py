@@ -113,7 +113,9 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
     has_met = bool((s_cols[9] == 1.0).any() or (p_cols[9] == 1.0).any())
     has_die = bool((s_cols[9] == 2.0).any() or (p_cols[9] == 2.0).any())
     _smooth = functools.partial(_bounce_smooth, has_met=has_met,
-                                has_die=has_die)
+                                has_die=has_die,
+                                has_planes=n_planes > 0,
+                                has_spheres=n_spheres > 0)
     _decide = functools.partial(_decisions, has_met=has_met,
                                 has_die=has_die)
     _fwdb = functools.partial(_bounce_forward, has_met=has_met,
@@ -377,7 +379,8 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
     return kernel
 
 
-def _bounce_smooth(o3, d3, thr3, pay, u3, bits, has_met=True, has_die=True):
+def _bounce_smooth(o3, d3, thr3, pay, u3, bits, has_met=True, has_die=True,
+                   has_planes=True, has_spheres=True):
     """The smooth per-bounce map with all discrete decisions pinned.
 
     Returns (o', d', thr', radiance_contribution).  Used both to advance the
@@ -389,6 +392,9 @@ def _bounce_smooth(o3, d3, thr3, pay, u3, bits, has_met=True, has_die=True):
     dielectric material the corresponding scatter block is statically dead
     (its select mask is all-false) — skipping it is bit-exact and removes
     ~60 ops/bounce of Fresnel math from the primal AND its transpose.
+    ``has_planes`` / ``has_spheres`` specialize the winner-t/normal chains
+    the same way (a plane-less scene has ispl all-false, so the plane-t
+    division chain and its transpose are statically dead, and vice versa).
     """
     f32 = jnp.float32
     ox, oy, oz = o3
@@ -412,26 +418,41 @@ def _bounce_smooth(o3, d3, thr3, pay, u3, bits, has_met=True, has_die=True):
     is_die = bits["is_die"]
 
     # --- differentiable t for the pinned winner ---------------------------
-    ocx, ocy, ocz = ox - bcx, oy - bcy, oz - bcz
-    bq = ocx * dx + ocy * dy + ocz * dz
-    c0 = ocx * ocx + ocy * ocy + ocz * ocz - brad * brad
-    disc = bq * bq - c0
-    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
-    t_s = jnp.where(root_lo, -bq - sq, -bq + sq)
-    ndd = bpnx * dx + bpny * dy + bpnz * dz
-    safe = jnp.where(jnp.abs(ndd) > 1e-12, ndd, f32(1.0))
-    t_p = -(bpnx * ox + bpny * oy + bpnz * oz + bpdd) / safe
-    t = jnp.where(ispl, t_p, t_s)
+    if has_spheres:
+        ocx, ocy, ocz = ox - bcx, oy - bcy, oz - bcz
+        bq = ocx * dx + ocy * dy + ocz * dz
+        c0 = ocx * ocx + ocy * ocy + ocz * ocz - brad * brad
+        disc = bq * bq - c0
+        sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+        t_s = jnp.where(root_lo, -bq - sq, -bq + sq)
+    if has_planes:
+        ndd = bpnx * dx + bpny * dy + bpnz * dz
+        safe = jnp.where(jnp.abs(ndd) > 1e-12, ndd, f32(1.0))
+        t_p = -(bpnx * ox + bpny * oy + bpnz * oz + bpdd) / safe
+    if has_planes and has_spheres:
+        t = jnp.where(ispl, t_p, t_s)
+    elif has_planes:
+        t = t_p
+    else:
+        t = t_s
     t = jnp.where(hit, t, 0.0)
 
     hx = ox + t * dx
     hy = oy + t * dy
     hz = oz + t * dz
-    snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
-    sinv = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
-    nx = jnp.where(ispl, bpnx, snx * sinv)
-    ny = jnp.where(ispl, bpny, sny * sinv)
-    nz = jnp.where(ispl, bpnz, snz * sinv)
+    if has_spheres:
+        snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+        sinv = jax.lax.rsqrt(
+            jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+        s_nx, s_ny, s_nz = snx * sinv, sny * sinv, snz * sinv
+    if has_planes and has_spheres:
+        nx = jnp.where(ispl, bpnx, s_nx)
+        ny = jnp.where(ispl, bpny, s_ny)
+        nz = jnp.where(ispl, bpnz, s_nz)
+    elif has_planes:
+        nx, ny, nz = bpnx, bpny, bpnz
+    else:
+        nx, ny, nz = s_nx, s_ny, s_nz
 
     # --- sky contribution on miss ----------------------------------------
     ts_ = 0.5 * (dy + 1.0)
@@ -852,7 +873,9 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
     has_met = bool((s_cols[9] == 1.0).any() or (p_cols[9] == 1.0).any())
     has_die = bool((s_cols[9] == 2.0).any() or (p_cols[9] == 2.0).any())
     _smooth = functools.partial(_bounce_smooth, has_met=has_met,
-                                has_die=has_die)
+                                has_die=has_die,
+                                has_planes=n_planes > 0,
+                                has_spheres=n_spheres > 0)
     _decide = functools.partial(_decisions, has_met=has_met,
                                 has_die=has_die)
     _fwdb = functools.partial(_bounce_forward, has_met=has_met,
@@ -1087,9 +1110,16 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
             for b in reversed(range(max_bounces)):
                 st = stash[b]
 
-                def rebuild_vjp(co, cd, ct, st=st):
+                def rebuild_vjp(co, cd, ct, st=st, rad_only=False):
                     """Payload rebuild (lean) + smooth-map vjp transpose.
-                    Returns (co', cd', ct', pay_cot, live_h_f, bidx, bplf)."""
+                    Returns (co', cd', ct', pay_cot, live_h_f, bidx, bplf).
+
+                    ``rad_only``: at the LAST bounce the incoming (co, cd,
+                    ct) are exactly zero, so the full transpose reduces to
+                    the radiance-output chain — vjp of ``_smooth(...)[3]``
+                    lets DCE drop the scatter/state chains (bit-exact:
+                    the dropped terms are multiplications by exact zeros,
+                    and rad touches no payload so pay_cot is exactly 0)."""
                     if lean:
                         packed = st["packed"]
                         rbits = {name: ((packed >> k) & 1) > 0
@@ -1146,6 +1176,18 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
 
                     if residuals == "eager":
                         fvjp = stl["fvjp"]
+                        cots = fvjp(((co[0], co[1], co[2]),
+                                     (cd[0], cd[1], cd[2]),
+                                     (ct[0], ct[1], ct[2]),
+                                     (cot[0], cot[1], cot[2])))
+                    elif rad_only:
+                        def fb_r(o3, d3, thr3, pay, stl=stl):
+                            return _smooth(o3, d3, thr3, pay,
+                                           stl["u"], stl["bits"])[3]
+
+                        primals = (stl["o"], stl["d"], stl["thr"], stl["pay"])
+                        _, fvjp = jax.vjp(fb_r, *primals)
+                        cots = fvjp((cot[0], cot[1], cot[2]))
                     else:
                         def fb(o3, d3, thr3, pay, stl=stl):
                             return _smooth(o3, d3, thr3, pay,
@@ -1153,10 +1195,10 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
 
                         primals = (stl["o"], stl["d"], stl["thr"], stl["pay"])
                         _, fvjp = jax.vjp(fb, *primals)
-                    cots = fvjp(((co[0], co[1], co[2]),
-                                 (cd[0], cd[1], cd[2]),
-                                 (ct[0], ct[1], ct[2]),
-                                 (cot[0], cot[1], cot[2])))
+                        cots = fvjp(((co[0], co[1], co[2]),
+                                     (cd[0], cd[1], cd[2]),
+                                     (ct[0], ct[1], ct[2]),
+                                     (cot[0], cot[1], cot[2])))
                     (co_p, cd_p, ct_p, pay_cot) = cots
                     return (co_p, cd_p, ct_p, pay_cot,
                             stl["bits"]["live_h"].astype(f32),
@@ -1209,14 +1251,15 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                             acc_ref[pos, :, :] = acc_ref[pos, :, :] + \
                                 mf * pay_cot[cslot]
 
+                ro = (b == max_bounces - 1) and residuals != "eager"
                 if acc_scratch:
                     # accumulators in scratch VMEM: read-modify-write inside
                     # the cond — no carries, and dead bounces skip the adds
-                    def rev_core_s(carry, st=st):
+                    def rev_core_s(carry, st=st, ro=ro):
                         co_p, cd_p, ct_p, pay_cot, lhf, bidx, bplf = \
                             rebuild_vjp(carry[0:3], carry[3:6], carry[6:9],
-                                        st=st)
-                        if not dbg_skip_prim:
+                                        st=st, rad_only=ro)
+                        if not (dbg_skip_prim or ro):
                             accumulate_scratch(pay_cot, lhf, bidx, bplf)
                         return tuple(co_p) + tuple(cd_p) + tuple(ct_p)
 
@@ -1231,10 +1274,10 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                     # the cond returns only the winner cotangents +
                     # attribution masks; the running per-primitive sums
                     # never ride a cond carry (the round-3 profile's 88%)
-                    def rev_core(carry, st=st):
+                    def rev_core(carry, st=st, ro=ro):
                         co_p, cd_p, ct_p, pay_cot, lhf, bidx, bplf = \
                             rebuild_vjp(carry[0:3], carry[3:6], carry[6:9],
-                                        st=st)
+                                        st=st, rad_only=ro)
                         return (tuple(co_p) + tuple(cd_p) + tuple(ct_p)
                                 + tuple(pay_cot) + (lhf, bidx, bplf))
 
@@ -1252,12 +1295,12 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                         accs = accumulate(accs, out[9:22], out[22], out[23],
                                           out[24])
                 else:
-                    def rev_body(carry, st=st):
+                    def rev_body(carry, st=st, ro=ro):
                         accs_l = list(carry[9:])
                         co_p, cd_p, ct_p, pay_cot, lhf, bidx, bplf = \
                             rebuild_vjp(carry[0:3], carry[3:6], carry[6:9],
-                                        st=st)
-                        if not dbg_skip_prim:
+                                        st=st, rad_only=ro)
+                        if not (dbg_skip_prim or ro):
                             accs_l = accumulate(accs_l, pay_cot, lhf, bidx,
                                                 bplf)
                         return (tuple(co_p) + tuple(cd_p) + tuple(ct_p)
@@ -1414,7 +1457,7 @@ def pallas_mse_loss_and_grad(
     spp: int = 4,
     max_bounces: Optional[int] = None,
     personality: str = "mg",
-    rows: int = 24,
+    rows: int = 32,
     rng_mode: str = "reference",
     lean: bool = True,
     fwd_rows: Optional[int] = None,
@@ -1465,18 +1508,28 @@ def pallas_mse_loss_and_grad(
             mode = "multi"
     if not pallas_grad_supported(concrete, lean=lean):
         raise ValueError("scene exceeds the fused grad kernel limits")
-    if tune is None:
-        # measured round-3 defaults (v5e-1, headline shape): scratch-ref
-        # accumulators + dense forward + reverse-time RNG replay; see
-        # _make_mono_kernel's tune docstring for the cost splits
-        if mode == "mono" and lean:
-            tune = ("acc_scratch", "fwd_dense")
-            if rng_impl == "hash":
-                tune += ("recompute_u",)
-        else:
-            tune = ()
 
     s_cols, p_cols = _flatten_primitives(concrete, personality)
+    if tune is None:
+        # measured round-3 defaults (v5e-1, headline shape; see
+        # _make_mono_kernel's tune docstring for the cost splits).  The
+        # scratch accumulators are only worth it while they are small;
+        # dielectric scenes get a shorter tile — the fatter Fresnel
+        # reverse chains measured 236 KB OVER the 16 MB scoped-VMEM limit
+        # at rows=24 + scratch (round-3 BD job).
+        if mode == "mono" and lean:
+            n_pr = s_cols.shape[1] + p_cols.shape[1]
+            scratch_ok = 9 * n_pr * rows * 128 * 4 <= (2 << 20)
+            tune = (("acc_scratch",) if scratch_ok else ("acc_outside",))
+            tune += ("fwd_dense",)
+            if rng_impl == "hash":
+                tune += ("recompute_u",)
+            has_die_l = bool((s_cols[9] == 2.0).any()
+                             or (p_cols[9] == 2.0).any())
+            if has_die_l and rows > 16:
+                rows = 16
+        else:
+            tune = ()
     common = dict(
         width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
         rng_mode=rng_mode, lean=lean, rng_impl=rng_impl, interpret=interpret,
@@ -1515,7 +1568,7 @@ def make_mse_step(
     spp: int = 4,
     max_bounces: Optional[int] = None,
     personality: str = "mg",
-    rows: int = 24,
+    rows: int = 32,
     rng_mode: str = "reference",
     lean: bool = True,
     fwd_rows: Optional[int] = None,
@@ -1569,18 +1622,28 @@ def make_mse_step(
             mode = "multi"
     if not pallas_grad_supported(concrete, lean=lean):
         raise ValueError("scene exceeds the fused grad kernel limits")
-    if tune is None:
-        # measured round-3 defaults (v5e-1, headline shape): scratch-ref
-        # accumulators + dense forward + reverse-time RNG replay; see
-        # _make_mono_kernel's tune docstring for the cost splits
-        if mode == "mono" and lean:
-            tune = ("acc_scratch", "fwd_dense")
-            if rng_impl == "hash":
-                tune += ("recompute_u",)
-        else:
-            tune = ()
 
     s_cols, p_cols = _flatten_primitives(concrete, personality)
+    if tune is None:
+        # measured round-3 defaults (v5e-1, headline shape; see
+        # _make_mono_kernel's tune docstring for the cost splits).  The
+        # scratch accumulators are only worth it while they are small;
+        # dielectric scenes get a shorter tile — the fatter Fresnel
+        # reverse chains measured 236 KB OVER the 16 MB scoped-VMEM limit
+        # at rows=24 + scratch (round-3 BD job).
+        if mode == "mono" and lean:
+            n_pr = s_cols.shape[1] + p_cols.shape[1]
+            scratch_ok = 9 * n_pr * rows * 128 * 4 <= (2 << 20)
+            tune = (("acc_scratch",) if scratch_ok else ("acc_outside",))
+            tune += ("fwd_dense",)
+            if rng_impl == "hash":
+                tune += ("recompute_u",)
+            has_die_l = bool((s_cols[9] == 2.0).any()
+                             or (p_cols[9] == 2.0).any())
+            if has_die_l and rows > 16:
+                rows = 16
+        else:
+            tune = ()
     common = dict(
         width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
         rng_mode=rng_mode, lean=lean, rng_impl=rng_impl, interpret=interpret,

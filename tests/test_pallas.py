@@ -38,7 +38,10 @@ def test_supported_gates():
     boxy = rt_tpu.loads(
         "materials = [ { type = 'lambert' } ]\nboxes = [ { material = 0 } ]\n"
     )
-    assert not pallas_supported(boxy)
+    # round 3: box scenes run through the kernel (the reference's box stub
+    # never hits them; --boxes bakes the slab test) — no more jnp demotion
+    assert pallas_supported(boxy)
+    assert pallas_supported(boxy, include_boxes=True)
 
 
 def test_flatten_primitives_payload():
