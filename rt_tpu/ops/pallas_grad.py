@@ -37,6 +37,31 @@ tile, so the kernel is VMEM-capacity-limited — measured on v5e-1 at
 from the stashed winner index + the baked primitive constants, and the 13
 decision masks pack into one int32 bitfield, shrinking the stash from 41 to
 14 tile arrays per bounce so 64/128-row tiles fit.
+
+Round-3 cost split of the mono step (v5e-1, basic.toml 800x600 @ 4spp d8 =
+1.92 Mrays/step, measured with the ``dbg`` knobs; all rows from the same
+session so the ratios are machine-state-independent):
+
+    ===============================================  ========  =========
+    configuration                                    ms/step   Mrays/s
+    ===============================================  ========  =========
+    forward-only megakernel (reference ceiling)        1.66      1156
+    round-2 default (lean, acc-carry, rows=24)         3.86       497
+    + acc_outside (accs out of the reverse cond)       3.55       540
+    + fwd_dense (drop the forward early-out cond)      3.42       561
+    + hash RNG + recompute_u (stash 14 -> 11)          3.13       614
+    + acc_scratch + masked-FMA accumulate              3.12       615
+    + plane-specialized _smooth + rad-only last
+      bounce, rows=32 (round-3 default)                2.80       687
+    ===============================================  ========  =========
+
+    dbg split at the acc_outside+fwd_dense point: forward+stash+loss
+    1.99 ms (``skip_reverse``), vjp transpose + payload rebuild +0.76 ms
+    (``skip_prim`` minus ``skip_reverse``), per-primitive accumulation
+    +0.60 ms (total minus ``skip_prim``).  The round-2 version's reverse
+    was 88% accumulator cond-carry copies (1.41 of 1.60 ms) — that is
+    what acc_outside/acc_scratch remove.  The fused step now costs 1.49x
+    the forward-only kernel (round 2: 2.7x).
 """
 
 from __future__ import annotations
@@ -119,7 +144,9 @@ def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
     _decide = functools.partial(_decisions, has_met=has_met,
                                 has_die=has_die)
     _fwdb = functools.partial(_bounce_forward, has_met=has_met,
-                              has_die=has_die)
+                              has_die=has_die,
+                              has_planes=n_planes > 0,
+                              has_spheres=n_spheres > 0)
     # early-out gates: same rationale as the mono kernel (see above) —
     # cond carries must stay small or Mosaic's scoped VMEM blows up
     fwd_eo = lean
@@ -625,7 +652,8 @@ def _make_scan(s_cols, p_cols, rows):
 
 
 def _bounce_forward(o3, d3, thr3, best_t, pay, bpl, broot, bcl, lv, u3, coin,
-                    has_met=True, has_die=True):
+                    has_met=True, has_die=True, has_planes=True,
+                    has_spheres=True):
     """Fused forward bounce: decision bits + scatter + state update in one
     pass sharing subexpressions (the render megakernel's math) — phase-1
     twin of ``_decisions`` + ``_bounce_smooth``, ~60 fewer ops/bounce.
@@ -660,12 +688,20 @@ def _bounce_forward(o3, d3, thr3, best_t, pay, bpl, broot, bcl, lv, u3, coin,
     hx = ox + t_safe * dx
     hy = oy + t_safe * dy
     hz = oz + t_safe * dz
-    snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
-    sinv = jax.lax.rsqrt(jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
     ispl = bpl > 0.0
-    nx = jnp.where(ispl, bpnx, snx * sinv)
-    ny = jnp.where(ispl, bpny, sny * sinv)
-    nz = jnp.where(ispl, bpnz, snz * sinv)
+    if has_spheres:
+        snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+        sinv = jax.lax.rsqrt(
+            jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+        s_nx, s_ny, s_nz = snx * sinv, sny * sinv, snz * sinv
+    if has_planes and has_spheres:
+        nx = jnp.where(ispl, bpnx, s_nx)
+        ny = jnp.where(ispl, bpny, s_ny)
+        nz = jnp.where(ispl, bpnz, s_nz)
+    elif has_planes:
+        nx, ny, nz = bpnx, bpny, bpnz
+    else:
+        nx, ny, nz = s_nx, s_ny, s_nz
 
     # lambert (mg_ray_tracer.cpp:109-123)
     lxr, lyr, lzr = nx + ux, ny + uy, nz + uz
@@ -879,7 +915,9 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
     _decide = functools.partial(_decisions, has_met=has_met,
                                 has_die=has_die)
     _fwdb = functools.partial(_bounce_forward, has_met=has_met,
-                              has_die=has_die)
+                              has_die=has_die,
+                              has_planes=n_planes > 0,
+                              has_spheres=n_spheres > 0)
     # Per-bounce dead-tile early-out gates (measured on v5e-1): the lean
     # stash rides the lax.cond with only 2 extra carries and wins (mono
     # rows=16 lean: 370 -> 448 Mrays/s on the headline bench); the 41-array

@@ -102,14 +102,15 @@ def auto_route(scene, platform: str, include_boxes: bool = False) -> tuple:
         from .ops.pallas_blockwise import MAX_BLOCKWISE_PRIMS, blockwise_supported
         from .ops.pallas_render import pallas_supported
 
-        if pallas_supported(scene):
+        if pallas_supported(scene, include_boxes):
             return "pallas", None
-        if blockwise_supported(scene):
+        if blockwise_supported(scene, include_boxes):
             return "blockwise", None
         n = scene.spheres.count + scene.planes.count
         why = (f"{n} primitives > {MAX_BLOCKWISE_PRIMS}"
                if n > MAX_BLOCKWISE_PRIMS else
-               f"{scene.boxes.count} box(es) in the scene")
+               f"--boxes with {scene.boxes.count} box(es) beyond the "
+               "unrolled kernel's cap")
         return "jnp", (
             "auto renderer: scene unsupported by the TPU kernels "
             f"({why}) — falling back to the jnp wavefront "

@@ -26,7 +26,10 @@ def test_warn_once_is_once(capsys):
     assert err.count("message one") == 1
 
 
-def test_sharded_replay_downgrade_warns(capsys):
+def test_sharded_replay_no_downgrade(capsys):
+    """Round 3: prims-sharded replay runs the global-winner path — the
+    round-2 warn-and-downgrade-to-autodiff is gone (tests/test_dist.py
+    asserts gradient parity; here: NO warning is emitted)."""
     from rt_tpu import dist
 
     mesh = dist.make_mesh(2, 2, devices=jax.devices()[:4])
@@ -35,12 +38,6 @@ def test_sharded_replay_downgrade_warns(capsys):
         s, (32, 24), jr.key(0), mesh, spp=1, max_bounces=2,
         grad_mode="replay")
     np.asarray(img)
-    err = capsys.readouterr().err
-    assert "downgrading to autodiff" in err
-    # second render: no duplicate warning
-    np.asarray(dist.render_image_sharded(
-        s, (32, 24), jr.key(0), mesh, spp=1, max_bounces=2,
-        grad_mode="replay"))
     assert "downgrading" not in capsys.readouterr().err
 
 
@@ -55,10 +52,18 @@ def test_auto_route_warns_on_unsupported_scene():
     route, warning = auto_route(big, "tpu")
     assert route == "blockwise" and warning is None
 
+    # round 3: box scenes route to the kernels (reference box-stub
+    # semantics; --boxes bakes the slab test).  Only --boxes beyond the
+    # unrolled cap demotes, with a warning.
     boxy = rt_tpu.loads(
         "materials = [ { type = 'lambert' } ]\nboxes = [ { material = 0 } ]\n"
     )
-    route, warning = auto_route(boxy, "tpu")
+    assert auto_route(boxy, "tpu") == ("pallas", None)
+    big_boxy = rt_tpu.scene.make_procedural_scene(700)
+    import dataclasses
+
+    big_boxy = dataclasses.replace(big_boxy, boxes=boxy.boxes)
+    route, warning = auto_route(big_boxy, "tpu", include_boxes=True)
     assert route == "jnp"
     assert "box" in warning
 

@@ -39,7 +39,10 @@ def test_supported_gates():
     boxy = rt_tpu.loads(
         "materials = [ { type = 'lambert' } ]\nboxes = [ { material = 0 } ]\n"
     )
-    assert not blockwise_supported(boxy)
+    # round 3: tracer semantics never hit boxes — supported (ignored);
+    # only the --boxes extension is out of the blockwise kernel's scope
+    assert blockwise_supported(boxy)
+    assert not blockwise_supported(boxy, include_boxes=True)
 
 
 def test_bucket_sizes():
@@ -70,8 +73,13 @@ def test_unsupported_scene_raises():
     boxy = rt_tpu.loads(
         "materials = [ { type = 'lambert' } ]\nboxes = [ { material = 0 } ]\n"
     )
+    # --boxes is the unrolled kernel's / jnp path's job, not blockwise's
     with pytest.raises(ValueError, match="exceeds"):
-        render_forward_blockwise(boxy, (8, 8), spp=1, max_bounces=1)
+        render_forward_blockwise(boxy, (8, 8), spp=1, max_bounces=1,
+                                 include_boxes=True)
+    # tracer semantics (box stub): renders fine, boxes ignored
+    img = _bw(boxy, (8, 8), spp=1, max_bounces=1)
+    assert np.isfinite(img).all()
 
 
 def test_deterministic_parity_basic():
