@@ -107,6 +107,27 @@ _BITS = ("hit", "live_h", "miss", "alive", "ispl", "root", "ldeg",
          "mabs", "refl_bit", "tir", "inside", "is_met", "is_die")
 
 
+def _active_bits(has_met, has_die, has_planes, has_spheres):
+    """The subset of _BITS the reverse sweep actually reads for this scene
+    (class-presence specialization of the stash bitfield: packing 13 bits
+    costs ~26 VPU ops per (sample, bounce) in the forward sweep — the mg
+    no-plane scene needs only 7).  Bits left out are reconstructed as
+    statically-known values at unpack time: ``ispl`` is hit for plane-only
+    scenes / false for sphere-only scenes, everything else false (exactly
+    what the specialized smooth map would have produced).  ``mabs`` is
+    never read by the reverse (its effect is folded into ``alive``)."""
+    bits = ["hit", "live_h", "miss", "alive", "ldeg"]
+    if has_planes and has_spheres:
+        bits.append("ispl")
+    if has_spheres:
+        bits.append("root")
+    if has_met:
+        bits.append("is_met")
+    if has_die:
+        bits += ["refl_bit", "tir", "inside", "is_die"]
+    return tuple(bits)
+
+
 def _make_grad_kernel(s_cols, p_cols, *, width, height, max_bounces, rows,
                       rng_mode, center_sample, lean=False, rng_impl="hw",
                       skip_reverse=False, skip_prim=False):
@@ -567,6 +588,221 @@ def _bounce_smooth(o3, d3, thr3, pay, u3, bits, has_met=True, has_die=True,
 # ---------------------------------------------------------------------------
 
 
+def _bounce_reverse_mg(o3, d3, thr3, pay, u3, bits, cot_o3, cot_d3,
+                       cot_t3, cot_rad3, has_met=True):
+    """Hand-fused transpose of the SPECIALIZED smooth map: spheres only
+    (no planes), lambert/metal (no dielectrics) — the mg personality on
+    sphere scenes, i.e. the headline benchmark class.
+
+    Mathematically identical to ``jax.vjp(_bounce_smooth)`` at the same
+    specialization (validated to float-eps in tests/test_pallas.py); wins
+    by sharing the primal recompute with the transpose and emitting the
+    adjoint directly instead of a generic linearize+transpose (~40% fewer
+    ops than the vjp pair).  Max-clamp gates follow JAX's convention
+    except at exact ties (measure-zero; jnp.maximum splits ties 50/50,
+    here the >-side wins).
+
+    Returns (cot_o, cot_d, cot_thr, pay_cot13)."""
+    f32 = jnp.float32
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    tr, tg, tb = thr3
+    (bcx, bcy, bcz, brad, _pnx, _pny, _pnz, _pdd,
+     bar, bag, bab, brf, brg) = pay
+    ux, uy, uz = u3
+    hit = bits["hit"]
+    root_lo = bits["root"]
+    ldeg = bits["ldeg"]
+    is_met = bits["is_met"]
+    mf = bits["miss"].astype(f32)
+    af = bits["alive"].astype(f32)
+    lh = bits["live_h"].astype(f32)
+    naf = 1.0 - af
+    nlh = 1.0 - lh
+
+    # ---- shared primal recompute (the residuals) -------------------------
+    ocx, ocy, ocz = ox - bcx, oy - bcy, oz - bcz
+    bq = ocx * dx + ocy * dy + ocz * dz
+    c0 = ocx * ocx + ocy * ocy + ocz * ocz - brad * brad
+    disc = bq * bq - c0
+    sq = jnp.sqrt(jnp.maximum(disc, 1e-12))
+    t_s = jnp.where(root_lo, -bq - sq, -bq + sq)
+    t = jnp.where(hit, t_s, 0.0)
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+    sn2 = snx * snx + sny * sny + snz * snz
+    sinv = jax.lax.rsqrt(jnp.maximum(sn2, 1e-30))
+    nx, ny, nz = snx * sinv, sny * sinv, snz * sinv
+    lxx, lxy, lxz = nx + ux, ny + uy, nz + uz
+    ln2 = lxx * lxx + lxy * lxy + lxz * lxz
+    linv = jax.lax.rsqrt(jnp.where(ldeg, 1.0, jnp.maximum(ln2, 1e-30)))
+    if has_met:
+        ddot = dx * nx + dy * ny + dz * nz
+        rx = dx - 2.0 * ddot * nx
+        ry = dy - 2.0 * ddot * ny
+        rz = dz - 2.0 * ddot * nz
+        mx = rx + brg * ux
+        my = ry + brg * uy
+        mz = rz + brg * uz
+        m2 = mx * mx + my * my + mz * mz
+        minv = jax.lax.rsqrt(jnp.maximum(m2, 1e-30))
+    ts_ = 0.5 * (dy + 1.0)
+
+    # ---- transpose -------------------------------------------------------
+    Cox_, Coy_, Coz_ = cot_o3
+    Cdx_, Cdy_, Cdz_ = cot_d3
+    Ctr_, Ctg_, Ctb_ = cot_t3
+    Crr, Crg, Crb = cot_rad3
+
+    # o' = nlh o + lh h ; d' = nlh d + lh nd
+    Cox = nlh * Cox_
+    Coy = nlh * Coy_
+    Coz = nlh * Coz_
+    Chx = lh * Cox_
+    Chy = lh * Coy_
+    Chz = lh * Coz_
+    Cdx = nlh * Cdx_
+    Cdy = nlh * Cdy_
+    Cdz = nlh * Cdz_
+    Cndx = lh * Cdx_
+    Cndy = lh * Cdy_
+    Cndz = lh * Cdz_
+
+    # thr'_c = thr_c (naf + af bar_c brf)
+    Ctr = Ctr_ * (naf + af * bar * brf)
+    Ctg = Ctg_ * (naf + af * bag * brf)
+    Ctb = Ctb_ * (naf + af * bab * brf)
+    Cbar = Ctr_ * tr * af * brf
+    Cbag = Ctg_ * tg * af * brf
+    Cbab = Ctb_ * tb * af * brf
+    Cbrf = af * (Ctr_ * tr * bar + Ctg_ * tg * bag + Ctb_ * tb * bab)
+
+    # rad = (mf tr (1-.5 ts), mf tg (1-.3 ts), mf tb)
+    Ctr = Ctr + Crr * mf * (1.0 - 0.5 * ts_)
+    Ctg = Ctg + Crg * mf * (1.0 - 0.3 * ts_)
+    Ctb = Ctb + Crb * mf
+    # dts/ddy = 0.5
+    Cdy = Cdy + 0.5 * (mf * tr * (-0.5) * Crr + mf * tg * (-0.3) * Crg)
+
+    # nd = where(is_met, mm, l)
+    if has_met:
+        Cmmx = jnp.where(is_met, Cndx, 0.0)
+        Cmmy = jnp.where(is_met, Cndy, 0.0)
+        Cmmz = jnp.where(is_met, Cndz, 0.0)
+        Clx = jnp.where(is_met, 0.0, Cndx)
+        Cly = jnp.where(is_met, 0.0, Cndy)
+        Clz = jnp.where(is_met, 0.0, Cndz)
+        # mm = m minv, minv = rsqrt(max(m.m, 1e-30))
+        gate_m = (m2 > 1e-30).astype(f32)
+        dot_mc = mx * Cmmx + my * Cmmy + mz * Cmmz
+        k_m = gate_m * minv * minv * minv * dot_mc
+        Cmx = minv * Cmmx - k_m * mx
+        Cmy = minv * Cmmy - k_m * my
+        Cmz = minv * Cmmz - k_m * mz
+        Cbrg = ux * Cmx + uy * Cmy + uz * Cmz
+        # r = d - 2 ddot n  (Cr = Cm)
+        Cdx = Cdx + Cmx
+        Cdy = Cdy + Cmy
+        Cdz = Cdz + Cmz
+        Cddot = -2.0 * (nx * Cmx + ny * Cmy + nz * Cmz)
+        Cnx = -2.0 * ddot * Cmx
+        Cny = -2.0 * ddot * Cmy
+        Cnz = -2.0 * ddot * Cmz
+        # ddot = d.n
+        Cdx = Cdx + Cddot * nx
+        Cdy = Cdy + Cddot * ny
+        Cdz = Cdz + Cddot * nz
+        Cnx = Cnx + Cddot * dx
+        Cny = Cny + Cddot * dy
+        Cnz = Cnz + Cddot * dz
+    else:
+        Clx, Cly, Clz = Cndx, Cndy, Cndz
+        zero_ = jnp.zeros_like(Cndx)
+        Cnx = Cny = Cnz = zero_
+        Cbrg = zero_
+
+    # l = where(ldeg, n, lxr linv)
+    Cnx = Cnx + jnp.where(ldeg, Clx, 0.0)
+    Cny = Cny + jnp.where(ldeg, Cly, 0.0)
+    Cnz = Cnz + jnp.where(ldeg, Clz, 0.0)
+    nld = ~ldeg
+    Clxx = jnp.where(nld, linv * Clx, 0.0)
+    Clxy = jnp.where(nld, linv * Cly, 0.0)
+    Clxz = jnp.where(nld, linv * Clz, 0.0)
+    Clinv = jnp.where(nld, lxx * Clx + lxy * Cly + lxz * Clz, 0.0)
+    # linv = rsqrt(w), w = where(ldeg, 1, max(ln2, 1e-30))
+    Cw = -0.5 * linv * linv * linv * Clinv
+    Cln2 = jnp.where(nld & (ln2 > 1e-30), Cw, 0.0)
+    Clxx = Clxx + 2.0 * Cln2 * lxx
+    Clxy = Clxy + 2.0 * Cln2 * lxy
+    Clxz = Clxz + 2.0 * Cln2 * lxz
+    # lxr = n + u
+    Cnx = Cnx + Clxx
+    Cny = Cny + Clxy
+    Cnz = Cnz + Clxz
+
+    # n = sn sinv
+    gate_s = (sn2 > 1e-30).astype(f32)
+    dot_sc = snx * Cnx + sny * Cny + snz * Cnz
+    k_s = gate_s * sinv * sinv * sinv * dot_sc
+    Csnx = sinv * Cnx - k_s * snx
+    Csny = sinv * Cny - k_s * sny
+    Csnz = sinv * Cnz - k_s * snz
+
+    # sn = h - bc
+    Chx = Chx + Csnx
+    Chy = Chy + Csny
+    Chz = Chz + Csnz
+    Cbcx = -Csnx
+    Cbcy = -Csny
+    Cbcz = -Csnz
+
+    # h = o + t d
+    Cox = Cox + Chx
+    Coy = Coy + Chy
+    Coz = Coz + Chz
+    Ct = dx * Chx + dy * Chy + dz * Chz
+    Cdx = Cdx + t * Chx
+    Cdy = Cdy + t * Chy
+    Cdz = Cdz + t * Chz
+
+    # t = where(hit, t_s, 0); t_s = where(root, -bq-sq, -bq+sq)
+    Cts = jnp.where(hit, Ct, 0.0)
+    Cbq = -Cts
+    Csq = jnp.where(root_lo, -Cts, Cts)
+    # sq = sqrt(max(disc, 1e-12))
+    Cdisc = jnp.where(disc > 1e-12, 0.5 * Csq / sq, 0.0)
+    # disc = bq^2 - c0
+    Cbq = Cbq + 2.0 * bq * Cdisc
+    Cc0 = -Cdisc
+    # c0 = oc.oc - brad^2
+    Cocx = 2.0 * Cc0 * ocx
+    Cocy = 2.0 * Cc0 * ocy
+    Cocz = 2.0 * Cc0 * ocz
+    Cbrad = -2.0 * brad * Cc0
+    # bq = oc.d
+    Cocx = Cocx + Cbq * dx
+    Cocy = Cocy + Cbq * dy
+    Cocz = Cocz + Cbq * dz
+    Cdx = Cdx + Cbq * ocx
+    Cdy = Cdy + Cbq * ocy
+    Cdz = Cdz + Cbq * ocz
+    # oc = o - bc
+    Cox = Cox + Cocx
+    Coy = Coy + Cocy
+    Coz = Coz + Cocz
+    Cbcx = Cbcx - Cocx
+    Cbcy = Cbcy - Cocy
+    Cbcz = Cbcz - Cocz
+
+    zero_ = jnp.zeros_like(Cox)
+    pay_cot = (Cbcx, Cbcy, Cbcz, Cbrad, zero_, zero_, zero_, zero_,
+               Cbar, Cbag, Cbab, Cbrf, Cbrg)
+    return ((Cox, Coy, Coz), (Cdx, Cdy, Cdz), (Ctr, Ctg, Ctb), pay_cot)
+
+
 def _make_scan(s_cols, p_cols, rows):
     """Unrolled closest-hit over baked primitive constants.
 
@@ -890,7 +1126,9 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
       remaining ~0.6 ms the acc_outside layout still paid)."""
     dbg_skip_reverse = "skip_reverse" in dbg
     dbg_skip_prim = "skip_prim" in dbg
+    dbg_anyl_const = "anyl_const" in dbg
     assert not dbg_skip_reverse or lean, "dbg skip_reverse supports lean only"
+    hand_rev = "hand_rev" in tune
     acc_scratch = "acc_scratch" in tune
     acc_outside = "acc_outside" in tune and not acc_scratch
     recompute_u = "recompute_u" in tune
@@ -918,6 +1156,10 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                               has_die=has_die,
                               has_planes=n_planes > 0,
                               has_spheres=n_spheres > 0)
+    active = _active_bits(has_met, has_die, n_planes > 0, n_spheres > 0)
+    assert not hand_rev or (not has_die and n_planes == 0
+                            and n_spheres > 0), \
+        "hand_rev covers the spheres-only lambert/metal specialization"
     # Per-bounce dead-tile early-out gates (measured on v5e-1): the lean
     # stash rides the lax.cond with only 2 extra carries and wins (mono
     # rows=16 lean: 370 -> 448 Mrays/s on the headline bench); the 41-array
@@ -1023,7 +1265,8 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                 coin = u01()
                 # dead-tile early-out predicate (stashed for the reverse
                 # sweep: a bounce skipped forward is skipped backward too)
-                anyl = jnp.sum(live) > 0.0
+                anyl = (jnp.bool_(True) if dbg_anyl_const
+                        else jnp.sum(live) > 0.0)
 
                 if residuals == "eager":
                     # vjp closures cannot cross a lax.cond boundary: the
@@ -1067,7 +1310,7 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                              i0 + rad[0], i1 + rad[1], i2 + rad[2])
                     if lean:
                         packed = jnp.zeros((rows, 128), jnp.int32)
-                        for k, name in enumerate(_BITS):
+                        for k, name in enumerate(active):
                             packed = packed | jnp.where(bits[name],
                                                         jnp.int32(1 << k),
                                                         jnp.int32(0))
@@ -1160,9 +1403,15 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                     and rad touches no payload so pay_cot is exactly 0)."""
                     if lean:
                         packed = st["packed"]
+                        fbool = jnp.zeros((rows, 128), jnp.bool_)
                         rbits = {name: ((packed >> k) & 1) > 0
-                                 for k, name in enumerate(_BITS)}
+                                 for k, name in enumerate(active)}
                         hitb = rbits["hit"]
+                        if "ispl" not in rbits:
+                            # single-class scenes: statically known
+                            rbits["ispl"] = hitb if n_spheres == 0 else fbool
+                        for name in _BITS:
+                            rbits.setdefault(name, fbool)
                         isplb = rbits["ispl"]
                         rcx = rcy = rcz = zero
                         rrad = one
@@ -1226,6 +1475,13 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                         primals = (stl["o"], stl["d"], stl["thr"], stl["pay"])
                         _, fvjp = jax.vjp(fb_r, *primals)
                         cots = fvjp((cot[0], cot[1], cot[2]))
+                    elif hand_rev:
+                        cots = _bounce_reverse_mg(
+                            stl["o"], stl["d"], stl["thr"], stl["pay"],
+                            stl["u"], stl["bits"],
+                            (co[0], co[1], co[2]), (cd[0], cd[1], cd[2]),
+                            (ct[0], ct[1], ct[2]), (cot[0], cot[1], cot[2]),
+                            has_met=has_met)
                     else:
                         def fb(o3, d3, thr3, pay, stl=stl):
                             return _smooth(o3, d3, thr3, pay,
@@ -1365,7 +1621,10 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
             for s in range(spp):
                 for st in sample_stash[s]:
                     anchor = anchor + st["packed"].astype(f32) + st["bidx"]
-                    for a3 in (st["o"], st["d"], st["thr"], st["u"]):
+                    arrs = [st["o"], st["d"], st["thr"]]
+                    if "u" in st:  # absent under recompute_u
+                        arrs.append(st["u"])
+                    for a3 in arrs:
                         anchor = anchor + a3[0] + a3[1] + a3[2]
             cg_ref[0, 0, 0] = jnp.sum(anchor)
             for i in range(1, 16):
@@ -1566,6 +1825,12 @@ def pallas_mse_loss_and_grad(
                              or (p_cols[9] == 2.0).any())
             if has_die_l and rows > 16:
                 rows = 16
+            if (not has_die_l and p_cols.shape[1] == 0
+                    and s_cols.shape[1] > 0):
+                # hand-fused reverse bounce for the spheres-only
+                # lambert/metal class (matches jax.vjp to float eps;
+                # measured 705 -> 734 Mrays/s on the headline shape)
+                tune += ("hand_rev",)
         else:
             tune = ()
     common = dict(
@@ -1680,6 +1945,12 @@ def make_mse_step(
                              or (p_cols[9] == 2.0).any())
             if has_die_l and rows > 16:
                 rows = 16
+            if (not has_die_l and p_cols.shape[1] == 0
+                    and s_cols.shape[1] > 0):
+                # hand-fused reverse bounce for the spheres-only
+                # lambert/metal class (matches jax.vjp to float eps;
+                # measured 705 -> 734 Mrays/s on the headline shape)
+                tune += ("hand_rev",)
         else:
             tune = ()
     common = dict(

@@ -419,3 +419,25 @@ def test_make_render_step_frame_batching():
     assert b.shape == (4, 48, 64, 3)
     np.testing.assert_array_equal(a, b[0])
     assert not np.array_equal(b[0], b[1])
+
+
+def test_hand_reverse_matches_vjp():
+    """The hand-fused reverse bounce (tune 'hand_rev', spheres-only
+    lambert/metal specialization) must match the generic jax.vjp transpose
+    to float eps."""
+    import rt_tpu
+    from rt_tpu import diff
+    from rt_tpu.ops.pallas_grad import pallas_mse_loss_and_grad
+
+    scene = rt_tpu.load("/root/reference/scenes/basic.toml")
+    params = diff.extract_params(scene)
+    tgt = jnp.zeros((48, 64, 3), jnp.float32)
+    kw = dict(spp=2, max_bounces=4, rng_impl="hash", interpret=True, seed=3)
+    l0, g0 = pallas_mse_loss_and_grad(params, scene, tgt, (64, 48), **kw)
+    l1, g1 = pallas_mse_loss_and_grad(
+        params, scene, tgt, (64, 48),
+        tune=("acc_scratch", "fwd_dense", "recompute_u", "hand_rev"), **kw)
+    assert float(l0) == float(l1)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   rtol=5e-4, atol=1e-7, err_msg=k)
