@@ -52,7 +52,9 @@ session so the ratios are machine-state-independent):
     + hash RNG + recompute_u (stash 14 -> 11)          3.13       614
     + acc_scratch + masked-FMA accumulate              3.12       615
     + plane-specialized _smooth + rad-only last
-      bounce, rows=32 (round-3 default)                2.80       687
+      bounce, rows=32                                  2.80       687
+    + hand-fused reverse (_bounce_reverse_mg) +
+      active-bit stash (round-3 default)               2.62       734
     ===============================================  ========  =========
 
     dbg split at the acc_outside+fwd_dense point: forward+stash+loss
