@@ -266,6 +266,14 @@ def interactive(
         sys.stdout.write("\x1b]0;" + " - ".join(parts) + "\x07")
         sys.stdout.flush()
 
+    # Note (measured, round 3): routing full-quality frames through a
+    # PREBUILT kernel step (ops.pallas_render.make_render_step) does NOT
+    # help here — a viewer must block on every frame to draw it, and a
+    # single blocked call pays the host round trip whether or not the
+    # inputs were pre-staged (65 -> 71 ms/frame on the remote-TPU tunnel,
+    # i.e. slightly worse).  The prebuilt-step win is real only for
+    # async-pipelined loops (bench/serving); the per-call renderer is the
+    # right shape for an interactive blocked loop.
     def draw(low_res: bool):
         if low_res:
             small = (max(int(size[0] * low_res_scale), 16),
