@@ -590,19 +590,19 @@ def _bounce_smooth(o3, d3, thr3, pay, u3, bits, has_met=True, has_die=True,
 # ---------------------------------------------------------------------------
 
 
-def _bounce_reverse_mg(o3, d3, thr3, pay, u3, bits, cot_o3, cot_d3,
-                       cot_t3, cot_rad3, has_met=True):
-    """Hand-fused transpose of the SPECIALIZED smooth map: spheres only
-    (no planes), lambert/metal (no dielectrics) — the mg personality on
-    sphere scenes, i.e. the headline benchmark class.
+def _bounce_reverse_noplanes(o3, d3, thr3, pay, u3, bits, cot_o3, cot_d3,
+                             cot_t3, cot_rad3, has_met=True, has_die=False):
+    """Hand-fused transpose of the SPECIALIZED smooth map for sphere-only
+    scenes (no planes): lambert/metal and optionally the full dielectric
+    family — every BASELINE benchmark scene is in this class.
 
     Mathematically identical to ``jax.vjp(_bounce_smooth)`` at the same
     specialization (validated to float-eps in tests/test_pallas.py); wins
     by sharing the primal recompute with the transpose and emitting the
     adjoint directly instead of a generic linearize+transpose (~40% fewer
-    ops than the vjp pair).  Max-clamp gates follow JAX's convention
-    except at exact ties (measure-zero; jnp.maximum splits ties 50/50,
-    here the >-side wins).
+    ops than the vjp pair; 705 -> 734 Mrays/s on the headline shape).
+    Max-clamp gates follow JAX's convention except at exact ties
+    (measure-zero; jnp.maximum splits ties 50/50, here the >-side wins).
 
     Returns (cot_o, cot_d, cot_thr, pay_cot13)."""
     f32 = jnp.float32
@@ -640,16 +640,40 @@ def _bounce_reverse_mg(o3, d3, thr3, pay, u3, bits, cot_o3, cot_d3,
     lxx, lxy, lxz = nx + ux, ny + uy, nz + uz
     ln2 = lxx * lxx + lxy * lxy + lxz * lxz
     linv = jax.lax.rsqrt(jnp.where(ldeg, 1.0, jnp.maximum(ln2, 1e-30)))
-    if has_met:
+    if has_met or has_die:
         ddot = dx * nx + dy * ny + dz * nz
         rx = dx - 2.0 * ddot * nx
         ry = dy - 2.0 * ddot * ny
         rz = dz - 2.0 * ddot * nz
+    if has_met:
         mx = rx + brg * ux
         my = ry + brg * uy
         mz = rz + brg * uz
         m2 = mx * mx + my * my + mz * mz
         minv = jax.lax.rsqrt(jnp.maximum(m2, 1e-30))
+    if has_die:
+        is_die = bits["is_die"]
+        inside = bits["inside"]
+        refl_bit = bits["refl_bit"]
+        tir = bits["tir"]
+        sgn = jnp.where(inside, f32(-1.0), f32(1.0))
+        onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
+        mbrf = jnp.maximum(brf, 1e-12)
+        eta = jnp.where(inside, brf, 1.0 / mbrf)
+        cos_i = jnp.where(inside, ddot, -ddot)
+        sin2 = eta * eta * (1.0 - cos_i * cos_i)
+        wct = jnp.where(tir, 1.0, jnp.maximum(1.0 - sin2, 1e-12))
+        sct = jnp.sqrt(wct)
+        cos_t = jnp.where(tir, 0.0, sct)
+        ecc = eta * cos_i - cos_t
+        fx = eta * dx + ecc * onx
+        fy = eta * dy + ecc * ony
+        fz = eta * dz + ecc * onz
+        gx = jnp.where(refl_bit, rx, fx)
+        gy = jnp.where(refl_bit, ry, fy)
+        gz = jnp.where(refl_bit, rz, fz)
+        g2 = gx * gx + gy * gy + gz * gz
+        ginv = jax.lax.rsqrt(jnp.maximum(g2, 1e-30))
     ts_ = 0.5 * (dy + 1.0)
 
     # ---- transpose -------------------------------------------------------
@@ -681,14 +705,26 @@ def _bounce_reverse_mg(o3, d3, thr3, pay, u3, bits, cot_o3, cot_d3,
     Cbab = Ctb_ * tb * af * brf
     Cbrf = af * (Ctr_ * tr * bar + Ctg_ * tg * bag + Ctb_ * tb * bab)
 
-    # rad = (mf tr (1-.5 ts), mf tg (1-.3 ts), mf tb)
+    # rad = (mf tr (1-.5 ts), mf tg (1-.3 ts), mf tb); dts/ddy = 0.5
     Ctr = Ctr + Crr * mf * (1.0 - 0.5 * ts_)
     Ctg = Ctg + Crg * mf * (1.0 - 0.3 * ts_)
     Ctb = Ctb + Crb * mf
-    # dts/ddy = 0.5
     Cdy = Cdy + 0.5 * (mf * tr * (-0.5) * Crr + mf * tg * (-0.3) * Crg)
 
-    # nd = where(is_met, mm, l)
+    zero_ = jnp.zeros_like(Cox)
+    Crx = Cry = Crz = zero_      # cotangent of the reflect vector r
+    Cddot = zero_
+    Cnx = Cny = Cnz = zero_
+    Cbrg = zero_
+
+    # nd select chain: ndx = where(is_met, mm, l); ndx = where(is_die, gg, ndx)
+    if has_die:
+        Cggx = jnp.where(is_die, Cndx, 0.0)
+        Cggy = jnp.where(is_die, Cndy, 0.0)
+        Cggz = jnp.where(is_die, Cndz, 0.0)
+        Cndx = jnp.where(is_die, 0.0, Cndx)
+        Cndy = jnp.where(is_die, 0.0, Cndy)
+        Cndz = jnp.where(is_die, 0.0, Cndz)
     if has_met:
         Cmmx = jnp.where(is_met, Cndx, 0.0)
         Cmmy = jnp.where(is_met, Cndy, 0.0)
@@ -696,6 +732,55 @@ def _bounce_reverse_mg(o3, d3, thr3, pay, u3, bits, cot_o3, cot_d3,
         Clx = jnp.where(is_met, 0.0, Cndx)
         Cly = jnp.where(is_met, 0.0, Cndy)
         Clz = jnp.where(is_met, 0.0, Cndz)
+    else:
+        Clx, Cly, Clz = Cndx, Cndy, Cndz
+
+    if has_die:
+        # gg = g ginv, ginv = rsqrt(max(g.g, 1e-30))
+        gate_g = (g2 > 1e-30).astype(f32)
+        dot_gc = gx * Cggx + gy * Cggy + gz * Cggz
+        k_g = gate_g * ginv * ginv * ginv * dot_gc
+        Cgx = ginv * Cggx - k_g * gx
+        Cgy = ginv * Cggy - k_g * gy
+        Cgz = ginv * Cggz - k_g * gz
+        # g = where(refl, r, f)
+        Crx = Crx + jnp.where(refl_bit, Cgx, 0.0)
+        Cry = Cry + jnp.where(refl_bit, Cgy, 0.0)
+        Crz = Crz + jnp.where(refl_bit, Cgz, 0.0)
+        Cfx = jnp.where(refl_bit, 0.0, Cgx)
+        Cfy = jnp.where(refl_bit, 0.0, Cgy)
+        Cfz = jnp.where(refl_bit, 0.0, Cgz)
+        # f_i = eta d_i + (eta cos_i - cos_t) on_i
+        dot_fd = Cfx * dx + Cfy * dy + Cfz * dz
+        dot_fon = Cfx * onx + Cfy * ony + Cfz * onz
+        Ceta = dot_fd + cos_i * dot_fon
+        Ccos_i = eta * dot_fon
+        Ccos_t = -dot_fon
+        Cdx = Cdx + eta * Cfx
+        Cdy = Cdy + eta * Cfy
+        Cdz = Cdz + eta * Cfz
+        Conx = ecc * Cfx
+        Cony = ecc * Cfy
+        Conz = ecc * Cfz
+        # cos_t = where(tir, 0, sqrt(wct)); wct = where(tir,1,max(1-sin2,eps))
+        Cs = jnp.where(tir, 0.0, Ccos_t)
+        Cw = 0.5 * Cs / sct
+        Csin2 = jnp.where((~tir) & ((1.0 - sin2) > 1e-12), -Cw, 0.0)
+        # sin2 = eta^2 (1 - cos_i^2)
+        Ceta = Ceta + 2.0 * eta * (1.0 - cos_i * cos_i) * Csin2
+        Ccos_i = Ccos_i - 2.0 * eta * eta * cos_i * Csin2
+        # cos_i = where(inside, ddot, -ddot)
+        Cddot = Cddot + jnp.where(inside, Ccos_i, -Ccos_i)
+        # eta = where(inside, brf, 1/max(brf, 1e-12))
+        Cbrf = Cbrf + jnp.where(
+            inside, Ceta,
+            jnp.where(brf > 1e-12, -Ceta / (mbrf * mbrf), 0.0))
+        # on = sgn n
+        Cnx = Cnx + sgn * Conx
+        Cny = Cny + sgn * Cony
+        Cnz = Cnz + sgn * Conz
+
+    if has_met:
         # mm = m minv, minv = rsqrt(max(m.m, 1e-30))
         gate_m = (m2 > 1e-30).astype(f32)
         dot_mc = mx * Cmmx + my * Cmmy + mz * Cmmz
@@ -704,14 +789,20 @@ def _bounce_reverse_mg(o3, d3, thr3, pay, u3, bits, cot_o3, cot_d3,
         Cmy = minv * Cmmy - k_m * my
         Cmz = minv * Cmmz - k_m * mz
         Cbrg = ux * Cmx + uy * Cmy + uz * Cmz
-        # r = d - 2 ddot n  (Cr = Cm)
-        Cdx = Cdx + Cmx
-        Cdy = Cdy + Cmy
-        Cdz = Cdz + Cmz
-        Cddot = -2.0 * (nx * Cmx + ny * Cmy + nz * Cmz)
-        Cnx = -2.0 * ddot * Cmx
-        Cny = -2.0 * ddot * Cmy
-        Cnz = -2.0 * ddot * Cmz
+        # m = r + brg u
+        Crx = Crx + Cmx
+        Cry = Cry + Cmy
+        Crz = Crz + Cmz
+
+    if has_met or has_die:
+        # r = d - 2 ddot n
+        Cdx = Cdx + Crx
+        Cdy = Cdy + Cry
+        Cdz = Cdz + Crz
+        Cddot = Cddot - 2.0 * (nx * Crx + ny * Cry + nz * Crz)
+        Cnx = Cnx - 2.0 * ddot * Crx
+        Cny = Cny - 2.0 * ddot * Cry
+        Cnz = Cnz - 2.0 * ddot * Crz
         # ddot = d.n
         Cdx = Cdx + Cddot * nx
         Cdy = Cdy + Cddot * ny
@@ -719,11 +810,6 @@ def _bounce_reverse_mg(o3, d3, thr3, pay, u3, bits, cot_o3, cot_d3,
         Cnx = Cnx + Cddot * dx
         Cny = Cny + Cddot * dy
         Cnz = Cnz + Cddot * dz
-    else:
-        Clx, Cly, Clz = Cndx, Cndy, Cndz
-        zero_ = jnp.zeros_like(Cndx)
-        Cnx = Cny = Cnz = zero_
-        Cbrg = zero_
 
     # l = where(ldeg, n, lxr linv)
     Cnx = Cnx + jnp.where(ldeg, Clx, 0.0)
@@ -735,8 +821,8 @@ def _bounce_reverse_mg(o3, d3, thr3, pay, u3, bits, cot_o3, cot_d3,
     Clxz = jnp.where(nld, linv * Clz, 0.0)
     Clinv = jnp.where(nld, lxx * Clx + lxy * Cly + lxz * Clz, 0.0)
     # linv = rsqrt(w), w = where(ldeg, 1, max(ln2, 1e-30))
-    Cw = -0.5 * linv * linv * linv * Clinv
-    Cln2 = jnp.where(nld & (ln2 > 1e-30), Cw, 0.0)
+    Cw2 = -0.5 * linv * linv * linv * Clinv
+    Cln2 = jnp.where(nld & (ln2 > 1e-30), Cw2, 0.0)
     Clxx = Clxx + 2.0 * Cln2 * lxx
     Clxy = Clxy + 2.0 * Cln2 * lxy
     Clxz = Clxz + 2.0 * Cln2 * lxz
@@ -799,7 +885,6 @@ def _bounce_reverse_mg(o3, d3, thr3, pay, u3, bits, cot_o3, cot_d3,
     Cbcy = Cbcy - Cocy
     Cbcz = Cbcz - Cocz
 
-    zero_ = jnp.zeros_like(Cox)
     pay_cot = (Cbcx, Cbcy, Cbcz, Cbrad, zero_, zero_, zero_, zero_,
                Cbar, Cbag, Cbab, Cbrf, Cbrg)
     return ((Cox, Coy, Coz), (Cdx, Cdy, Cdz), (Ctr, Ctg, Ctb), pay_cot)
@@ -1159,9 +1244,8 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                               has_planes=n_planes > 0,
                               has_spheres=n_spheres > 0)
     active = _active_bits(has_met, has_die, n_planes > 0, n_spheres > 0)
-    assert not hand_rev or (not has_die and n_planes == 0
-                            and n_spheres > 0), \
-        "hand_rev covers the spheres-only lambert/metal specialization"
+    assert not hand_rev or (n_planes == 0 and n_spheres > 0), \
+        "hand_rev covers the spheres-only (no planes) specialization"
     # Per-bounce dead-tile early-out gates (measured on v5e-1): the lean
     # stash rides the lax.cond with only 2 extra carries and wins (mono
     # rows=16 lean: 370 -> 448 Mrays/s on the headline bench); the 41-array
@@ -1478,12 +1562,12 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                         _, fvjp = jax.vjp(fb_r, *primals)
                         cots = fvjp((cot[0], cot[1], cot[2]))
                     elif hand_rev:
-                        cots = _bounce_reverse_mg(
+                        cots = _bounce_reverse_noplanes(
                             stl["o"], stl["d"], stl["thr"], stl["pay"],
                             stl["u"], stl["bits"],
                             (co[0], co[1], co[2]), (cd[0], cd[1], cd[2]),
                             (ct[0], ct[1], ct[2]), (cot[0], cot[1], cot[2]),
-                            has_met=has_met)
+                            has_met=has_met, has_die=has_die)
                     else:
                         def fb(o3, d3, thr3, pay, stl=stl):
                             return _smooth(o3, d3, thr3, pay,
@@ -1827,11 +1911,10 @@ def pallas_mse_loss_and_grad(
                              or (p_cols[9] == 2.0).any())
             if has_die_l and rows > 16:
                 rows = 16
-            if (not has_die_l and p_cols.shape[1] == 0
-                    and s_cols.shape[1] > 0):
-                # hand-fused reverse bounce for the spheres-only
-                # lambert/metal class (matches jax.vjp to float eps;
-                # measured 705 -> 734 Mrays/s on the headline shape)
+            if p_cols.shape[1] == 0 and s_cols.shape[1] > 0:
+                # hand-fused reverse bounce for sphere-only scenes, all
+                # material classes (matches jax.vjp to float eps; measured
+                # 705 -> 734 Mrays/s on the headline shape)
                 tune += ("hand_rev",)
         else:
             tune = ()
@@ -1947,11 +2030,10 @@ def make_mse_step(
                              or (p_cols[9] == 2.0).any())
             if has_die_l and rows > 16:
                 rows = 16
-            if (not has_die_l and p_cols.shape[1] == 0
-                    and s_cols.shape[1] > 0):
-                # hand-fused reverse bounce for the spheres-only
-                # lambert/metal class (matches jax.vjp to float eps;
-                # measured 705 -> 734 Mrays/s on the headline shape)
+            if p_cols.shape[1] == 0 and s_cols.shape[1] > 0:
+                # hand-fused reverse bounce for sphere-only scenes, all
+                # material classes (matches jax.vjp to float eps; measured
+                # 705 -> 734 Mrays/s on the headline shape)
                 tune += ("hand_rev",)
         else:
             tune = ()
