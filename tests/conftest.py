@@ -18,3 +18,23 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running test (multi-process spawns etc.)")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The suite compiles several hundred XLA CPU programs; with every
+    executable kept alive by jax's C++-level caches, the LLVM JIT state
+    eventually corrupts and backend_compile segfaults deterministically
+    around test ~177 (reproduced twice, crash inside
+    jax/_src/compiler.py backend_compile_and_load; every module passes in
+    isolation).  Dropping the caches at module boundaries keeps the live
+    executable count bounded; intra-module caching (where the reuse is)
+    is unaffected.
+    """
+    yield
+    jax.clear_caches()

@@ -441,3 +441,25 @@ def test_hand_reverse_matches_vjp():
     for k in g0:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
                                    rtol=5e-4, atol=1e-7, err_msg=k)
+
+
+def test_hand_reverse_matches_vjp_dielectric():
+    """Dielectric-family hand reverse (Fresnel chain transpose) vs vjp."""
+    import rt_tpu
+    from rt_tpu import diff
+    from rt_tpu.ops.pallas_grad import pallas_mse_loss_and_grad
+
+    scene = rt_tpu.load("/root/reference/scenes/dielectric.toml")
+    params = diff.extract_params(scene)
+    tgt = jnp.zeros((24, 32, 3), jnp.float32)
+    kw = dict(spp=1, max_bounces=3, rng_impl="hash", interpret=True,
+              seed=5, personality="sm")
+    l0, g0 = pallas_mse_loss_and_grad(params, scene, tgt, (32, 24),
+                                      tune=(), **kw)
+    l1, g1 = pallas_mse_loss_and_grad(
+        params, scene, tgt, (32, 24),
+        tune=("acc_scratch", "fwd_dense", "recompute_u", "hand_rev"), **kw)
+    assert float(l0) == float(l1)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   rtol=5e-4, atol=1e-7, err_msg=k)
