@@ -241,6 +241,565 @@ def _seed_table(s_tab: jax.Array, block: int) -> jax.Array:
     return seed
 
 
+def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
+                 mxu, cull, cull_group, rng_mode, skip_cond):
+    """ONE path-tracing bounce for a 128-lane ray tile: blockwise
+    closest-hit scan (payload / lean / culled / MXU variants) + sky on
+    miss + lambert/metal/dielectric scatter (mg_ray_tracer.cpp:109-174,
+    sm_ray_tracer.cpp:181-219).  Pure function of its inputs — shared by
+    the pixel-major kernel (:func:`_make_blockwise_kernel`) and the
+    bounce-major wavefront kernel (rt_tpu.ops.pallas_wavefront), so the
+    two stay bit-identical by construction.
+
+    ``rays`` = (ox, oy, oz, dx, dy, dz, tr, tg, tb, live_f); ``u01`` is
+    called exactly 4 times (unit-vector triple + coin).  ``skip_cond``
+    wraps the scan in a dead-tile early-out lax.cond.  Returns
+    ``(contrib_rgb, new_o, new_d, new_thr, new_live_f)`` where
+    ``contrib_rgb`` is this bounce's (masked) radiance contribution."""
+    f32 = jnp.float32
+    sph_ref, pln_ref, aux_ref, seed_ref = refs
+    n_sph, n_pln = counts
+    ox, oy, oz, dx, dy, dz, tr, tg, tb, live = rays
+    shape = (1, _LANES)
+    zero = jnp.zeros(shape, f32)
+    one = jnp.ones(shape, f32)
+    p_block = min(block, p_pad)
+    s_block = min(block, s_pad)
+    prowi = jax.lax.broadcasted_iota(jnp.int32, (p_block, _LANES), 0)
+    prowf = prowi.astype(f32)
+    srowi = jax.lax.broadcasted_iota(jnp.int32, (s_block, _LANES), 0)
+    srowf = srowi.astype(f32)
+    _dot = functools.partial(
+        jax.lax.dot_general,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    lv = live > 0.0
+
+    # ---- blockwise closest-hit scan ------------------------------------
+    # carry: best_t, payload slots, is-plane flag (all f32).
+    init = (
+        jnp.full(shape, f32(_BIG)),  # 0 best_t
+        zero, zero, zero,            # 1-3 sphere centre
+        zero, zero, zero,            # 4-6 plane normal
+        zero, zero, zero,            # 7-9 albedo rgb
+        one, zero, zero,             # 10 refl, 11 rough, 12 cls
+        zero,                        # 13 is-plane
+    )
+
+    def scan_planes(ib, carry):
+        blk = pln_ref[pl.ds(ib * p_block, p_block), :]
+        pnx = blk[:, 0:1]
+        pny = blk[:, 1:2]
+        pnz = blk[:, 2:3]
+        pdd = blk[:, 3:4]
+        nd = pnx * dx + pny * dy + pnz * dz
+        no = pnx * ox + pny * oy + pnz * oz + pdd
+        safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
+        t = -no / safe
+        valid = (ib * p_block + prowi) < n_pln
+        ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
+        t = jnp.where(ok, t, f32(_BIG))
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        winrow = jnp.min(jnp.where(t == tmin, prowf, f32(1e9)),
+                         axis=0, keepdims=True)
+        msk = ((t == tmin) & (prowf == winrow)).astype(f32)
+
+        best_t = carry[0]
+        better = tmin < best_t  # strict: earliest index wins
+
+        def pick(c):
+            return jnp.sum(msk * blk[:, c:c + 1], axis=0,
+                           keepdims=True)
+
+        new = (
+            jnp.where(better, tmin, best_t),
+            carry[1], carry[2], carry[3],
+            jnp.where(better, pick(0), carry[4]),
+            jnp.where(better, pick(1), carry[5]),
+            jnp.where(better, pick(2), carry[6]),
+            jnp.where(better, pick(4), carry[7]),
+            jnp.where(better, pick(5), carry[8]),
+            jnp.where(better, pick(6), carry[9]),
+            jnp.where(better, pick(7), carry[10]),
+            jnp.where(better, pick(8), carry[11]),
+            jnp.where(better, pick(9), carry[12]),
+            jnp.where(better, one, carry[13]),
+        )
+        return new
+
+    def scan_spheres(ib, carry):
+        blk = sph_ref[pl.ds(ib * s_block, s_block), :]
+        cx = blk[:, 0:1]
+        cy = blk[:, 1:2]
+        cz = blk[:, 2:3]
+        rad = blk[:, 3:4]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        bq = ocx * dx + ocy * dy + ocz * dz
+        c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = bq * bq - c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -bq - sq
+        t1 = -bq + sq
+        t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+        valid = (ib * s_block + srowi) < n_sph
+        ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
+        t = jnp.where(ok, t, f32(_BIG))
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        winrow = jnp.min(jnp.where(t == tmin, srowf, f32(1e9)),
+                         axis=0, keepdims=True)
+        msk = ((t == tmin) & (srowf == winrow)).astype(f32)
+
+        best_t = carry[0]
+        # spheres win a plane tie, strict '<' among themselves
+        better = (tmin < best_t) | (
+            (tmin == best_t) & (carry[13] > 0.0) & (tmin < f32(_BIG))
+        )
+
+        def pick(c):
+            return jnp.sum(msk * blk[:, c:c + 1], axis=0,
+                           keepdims=True)
+
+        new = (
+            jnp.where(better, tmin, best_t),
+            jnp.where(better, pick(0), carry[1]),
+            jnp.where(better, pick(1), carry[2]),
+            jnp.where(better, pick(2), carry[3]),
+            carry[4], carry[5], carry[6],
+            jnp.where(better, pick(4), carry[7]),
+            jnp.where(better, pick(5), carry[8]),
+            jnp.where(better, pick(6), carry[9]),
+            jnp.where(better, pick(7), carry[10]),
+            jnp.where(better, pick(8), carry[11]),
+            jnp.where(better, pick(9), carry[12]),
+            jnp.where(better, zero, carry[13]),
+        )
+        return new
+
+    if mxu:
+        # per-bounce ray-side matmul operands (K on sublanes)
+        d3 = jnp.concatenate([dx, dy, dz], axis=0)          # (3,L)
+        o4s = jnp.concatenate([one, ox, oy, oz], axis=0)    # (4,L)
+        o4p = jnp.concatenate([ox, oy, oz, one], axis=0)    # (4,L)
+        odot = ox * dx + oy * dy + oz * dz
+        onorm = ox * ox + oy * oy + oz * oz
+
+    def scan_planes_mxu(ib, carry):
+        blk = pln_ref[:, pl.ds(ib * p_block, p_block)]  # (16, B)
+        nd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
+        no = _dot(blk[0:4], o4p, (((0,), (0,)), ((), ())))
+        safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
+        t = -no / safe
+        valid = (ib * p_block + prowi) < n_pln
+        ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
+        t = jnp.where(ok, t, f32(_BIG))
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        winrow = jnp.min(jnp.where(t == tmin, prowf, f32(1e9)),
+                         axis=0, keepdims=True)
+        msk = ((t == tmin) & (prowf == winrow)).astype(f32)
+        best_t = carry[0]
+        better = tmin < best_t  # strict: earliest index wins
+        # winner payload: one-hot contraction on the MXU (exact:
+        # f32 values split exactly over the bf16 passes, 0/1
+        # mask, f32 accumulate)
+        pay = _dot(blk, msk, (((1,), (0,)), ((), ())))  # (16, L)
+        new = (
+            jnp.where(better, tmin, best_t),
+            carry[1], carry[2], carry[3],
+            jnp.where(better, pay[0:1], carry[4]),
+            jnp.where(better, pay[1:2], carry[5]),
+            jnp.where(better, pay[2:3], carry[6]),
+            jnp.where(better, pay[4:5], carry[7]),
+            jnp.where(better, pay[5:6], carry[8]),
+            jnp.where(better, pay[6:7], carry[9]),
+            jnp.where(better, pay[7:8], carry[10]),
+            jnp.where(better, pay[8:9], carry[11]),
+            jnp.where(better, pay[9:10], carry[12]),
+            jnp.where(better, one, carry[13]),
+        )
+        return new
+
+    def scan_spheres_mxu(ib, carry):
+        blk = sph_ref[:, pl.ds(ib * s_block, s_block)]  # (16, B)
+        # bq = oc.d = o.d - C@D; c0 = |oc|^2 - r^2
+        #    = |o|^2 + [cnorm, -2c] @ [1, o]
+        cd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
+        c0p = _dot(blk[10:14], o4s, (((0,), (0,)), ((), ())))
+        bq = odot - cd
+        c0 = onorm + c0p
+        disc = bq * bq - c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -bq - sq
+        t1 = -bq + sq
+        t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+        valid = (ib * s_block + srowi) < n_sph
+        ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
+        t = jnp.where(ok, t, f32(_BIG))
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        winrow = jnp.min(jnp.where(t == tmin, srowf, f32(1e9)),
+                         axis=0, keepdims=True)
+        msk = ((t == tmin) & (srowf == winrow)).astype(f32)
+        best_t = carry[0]
+        # spheres win a plane tie, strict '<' among themselves
+        better = (tmin < best_t) | (
+            (tmin == best_t) & (carry[13] > 0.0) & (tmin < f32(_BIG))
+        )
+        pay = _dot(blk, msk, (((1,), (0,)), ((), ())))  # (16, L)
+        new = (
+            jnp.where(better, tmin, best_t),
+            jnp.where(better, pay[0:1], carry[1]),
+            jnp.where(better, pay[1:2], carry[2]),
+            jnp.where(better, pay[2:3], carry[3]),
+            carry[4], carry[5], carry[6],
+            jnp.where(better, pay[4:5], carry[7]),
+            jnp.where(better, pay[5:6], carry[8]),
+            jnp.where(better, pay[6:7], carry[9]),
+            jnp.where(better, pay[7:8], carry[10]),
+            jnp.where(better, pay[8:9], carry[11]),
+            jnp.where(better, pay[9:10], carry[12]),
+            jnp.where(better, zero, carry[13]),
+        )
+        return new
+
+    # ---- lean-carry scan (scan="lean") ---------------------------------
+    # The payload-carry scans above spend ~half their VPU ops on the 10
+    # masked `pick()` reductions per block; the lean scan only IDENTIFIES
+    # the winner — carry (best_t, winner TABLE row, winner ORIGINAL index,
+    # is-plane) — and fetches the payload once afterwards with an exact
+    # one-hot contraction (see `extract`).
+    lean_init = (jnp.full(shape, f32(_BIG)), zero,
+                 jnp.full(shape, f32(_BIG)), zero)
+
+    def lean_planes(ib, carry):
+        if mxu:
+            blk = pln_ref[:, pl.ds(ib * p_block, p_block)]
+            nd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
+            no = _dot(blk[0:4], o4p, (((0,), (0,)), ((), ())))
+        else:
+            blk = pln_ref[pl.ds(ib * p_block, p_block), :]
+            pnx = blk[:, 0:1]
+            pny = blk[:, 1:2]
+            pnz = blk[:, 2:3]
+            pdd = blk[:, 3:4]
+            nd = pnx * dx + pny * dy + pnz * dz
+            no = pnx * ox + pny * oy + pnz * oz + pdd
+        safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
+        t = -no / safe
+        valid = (ib * p_block + prowi) < n_pln
+        ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
+        t = jnp.where(ok, t, f32(_BIG))
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        winrow = jnp.min(jnp.where(t == tmin, prowf, f32(1e9)),
+                         axis=0, keepdims=True)
+        best_t, browf, bgidxf, isplf = carry
+        better = tmin < best_t  # strict: earliest index wins
+        gwin = f32(1.0) * ib * p_block + winrow
+        return (jnp.where(better, tmin, best_t),
+                jnp.where(better, gwin, browf),
+                jnp.where(better, gwin, bgidxf),
+                jnp.where(better, one, isplf))
+
+    def lean_spheres(ib, carry):
+        if mxu:
+            blk = sph_ref[:, pl.ds(ib * s_block, s_block)]
+            cd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
+            c0p = _dot(blk[10:14], o4s, (((0,), (0,)), ((), ())))
+            bq = odot - cd
+            c0 = onorm + c0p
+        else:
+            blk = sph_ref[pl.ds(ib * s_block, s_block), :]
+            cx = blk[:, 0:1]
+            cy = blk[:, 1:2]
+            cz = blk[:, 2:3]
+            rad = blk[:, 3:4]
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            bq = ocx * dx + ocy * dy + ocz * dz
+            c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = bq * bq - c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -bq - sq
+        t1 = -bq + sq
+        t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+        valid = (ib * s_block + srowi) < n_sph
+        ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
+        t = jnp.where(ok, t, f32(_BIG))
+        gcol = blk[14:15].T if mxu else blk[:, 10:11]
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        # among equal-t rows: the one with the smallest ORIGINAL
+        # index wins (original indices are unique, so the mask
+        # selects exactly one row)
+        wingidx = jnp.min(jnp.where(t == tmin, gcol, f32(1e9)),
+                          axis=0, keepdims=True)
+        wmsk = ((t == tmin) & (gcol == wingidx)).astype(f32)
+        winrow = jnp.sum(wmsk * srowf, axis=0, keepdims=True)
+        best_t, browf, bgidxf, isplf = carry
+        # spheres win a plane tie; among spheres the smaller
+        # original index wins (== the reference's scan order)
+        better = (tmin < best_t) | (
+            (tmin == best_t) & (tmin < f32(_BIG))
+            & ((isplf > 0.0) | (wingidx < bgidxf))
+        )
+        gwin = f32(1.0) * ib * s_block + winrow
+        return (jnp.where(better, tmin, best_t),
+                jnp.where(better, gwin, browf),
+                jnp.where(better, wingidx, bgidxf),
+                jnp.where(better, zero, isplf))
+
+    def lean_seed(carry):
+        """Partial scan over the per-block representative subset (see
+        _seed_table) — tightens best_t so the grouped cull's t-window
+        fires from the first group."""
+        blk = seed_ref[...]
+        cx = blk[:, 0:1]
+        cy = blk[:, 1:2]
+        cz = blk[:, 2:3]
+        rad = blk[:, 3:4]
+        gcol = blk[:, 10:11]
+        rowcol = blk[:, 11:12]
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        bq = ocx * dx + ocy * dy + ocz * dz
+        c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = bq * bq - c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -bq - sq
+        t1 = -bq + sq
+        t = jnp.where(t0 >= _MIN_HIT, t0, t1)
+        ok = (rad > 0.0) & (disc >= 0.0) & (t >= _MIN_HIT)
+        t = jnp.where(ok, t, f32(_BIG))
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        wingidx = jnp.min(jnp.where(t == tmin, gcol, f32(1e9)),
+                          axis=0, keepdims=True)
+        wmsk = ((t == tmin) & (gcol == wingidx)).astype(f32)
+        winrow = jnp.sum(wmsk * rowcol, axis=0, keepdims=True)
+        best_t, browf, bgidxf, isplf = carry
+        better = (tmin < best_t) | (
+            (tmin == best_t) & (tmin < f32(_BIG))
+            & ((isplf > 0.0) | (wingidx < bgidxf))
+        )
+        return (jnp.where(better, tmin, best_t),
+                jnp.where(better, winrow, browf),
+                jnp.where(better, wingidx, bgidxf),
+                jnp.where(better, zero, isplf))
+
+    def lean_spheres_culled(ig, carry):
+        # Grouped block cull: ONE vectorized (G, 128) bounding-
+        # sphere ray test + ONE branch covers G Morton-adjacent
+        # blocks.  Per-block branches measured ~break-even on
+        # v5e (the cond's cross-lane reduce + pipeline bubble
+        # costs about what one 128-row block scan costs);
+        # amortizing the branch G-ways makes skips profitable.
+        arow = aux_ref[pl.ds(ig * cull_group, cull_group), :]
+        bcx_ = arow[:, 0:1]
+        bcy_ = arow[:, 1:2]
+        bcz_ = arow[:, 2:3]
+        rB = arow[:, 3:4]
+        ocx_, ocy_, ocz_ = bcx_ - ox, bcy_ - oy, bcz_ - oz
+        tc = ocx_ * dx + ocy_ * dy + ocz_ * dz
+        dist2 = ocx_ * ocx_ + ocy_ * ocy_ + ocz_ * ocz_
+        # perp2 = dist2 - tc^2 cancels catastrophically for
+        # distant blocks: pad every comparison by a few-ulp
+        # margin of its operands so f32 rounding can only make
+        # the test MORE permissive (exact-argmin guarantee)
+        perp2 = dist2 - tc * tc
+        m2 = f32(4e-6) * dist2 + f32(1e-6)
+        mt = f32(1e-6) * (jnp.abs(tc) + 1.0)
+        best_t = carry[0]
+        poss = (lv & (perp2 <= rB * rB + m2)
+                & (tc + rB + mt >= f32(_MIN_HIT))
+                & (tc - rB - mt <= best_t))
+
+        def scan_group(c, ig=ig):
+            for j in range(cull_group):
+                c = lean_spheres(ig * cull_group + j, c)
+            return c
+
+        return jax.lax.cond(
+            jnp.sum(poss.astype(f32)) > 0.0,
+            scan_group, lambda c: c, carry)
+
+    n_pblk = (n_pln + p_block - 1) // p_block
+    n_sblk = (n_sph + s_block - 1) // s_block
+    n_sgrp = (n_sblk + cull_group - 1) // cull_group
+    if scan == "lean":
+        plane_fn = lean_planes
+        sphere_fn = lean_spheres_culled if cull else lean_spheres
+    else:
+        plane_fn = scan_planes_mxu if mxu else scan_planes
+        sphere_fn = scan_spheres_mxu if mxu else scan_spheres
+
+    def extract(rec):
+        """Lean carries -> the 14-slot payload tuple, via one
+        one-hot contraction per table (exact, see above)."""
+        best_t, bidxf, _bgidxf, isplf = rec
+        hitb = best_t < f32(1e37)
+        # Mosaic iota must be integer-typed; bidx is a small
+        # exact integer in f32, so the int cast is lossless
+        bidx_i = bidxf.astype(jnp.int32)
+        s_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (s_pad, _LANES), 0)
+        p_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (p_pad, _LANES), 0)
+        s_oh = ((s_iota == bidx_i) & hitb
+                & (isplf == 0.0)).astype(f32)
+        p_oh = ((p_iota == bidx_i) & (isplf > 0.0)).astype(f32)
+        if mxu:
+            s_pay = _dot(sph_ref[...], s_oh,
+                         (((1,), (0,)), ((), ())))
+            p_pay = _dot(pln_ref[...], p_oh,
+                         (((1,), (0,)), ((), ())))
+        else:
+            s_pay = _dot(sph_ref[...], s_oh,
+                         (((0,), (0,)), ((), ())))
+            p_pay = _dot(pln_ref[...], p_oh,
+                         (((0,), (0,)), ((), ())))
+        pick = lambda pay, c: pay[c:c + 1]
+        sel = lambda c: jnp.where(isplf > 0.0, pick(p_pay, c),
+                                  pick(s_pay, c))
+        return (
+            best_t,
+            pick(s_pay, 0), pick(s_pay, 1), pick(s_pay, 2),
+            pick(p_pay, 0), pick(p_pay, 1), pick(p_pay, 2),
+            sel(4), sel(5), sel(6),
+            # miss lanes fetch nothing: refl falls to 0, but the
+            # payload-carry default is 1 — restore it (eta/r0
+            # math divides by refl before the live mask applies)
+            jnp.where(hitb, sel(7), one),
+            sel(8), sel(9), isplf,
+        )
+
+    def do_scan(_):
+        rec = jax.lax.fori_loop(0, n_pblk, plane_fn,
+                                lean_init if scan == "lean"
+                                else init)
+        if cull:
+            rec = lean_seed(rec)
+        rec = jax.lax.fori_loop(0, n_sgrp if cull else n_sblk,
+                                sphere_fn, rec)
+        return extract(rec) if scan == "lean" else rec
+
+    if skip_cond:
+        # dead-tile early-out: when every ray in the tile has
+        # terminated, the O(N) scan is skipped (init -> miss,
+        # and the sky/throughput math is masked by `lv` anyway).
+        any_live = jnp.sum(live) > 0.0
+        hitrec = jax.lax.cond(any_live, do_scan,
+                              lambda _: init, None)
+    else:
+        hitrec = do_scan(None)
+
+    (best_t, bcx, bcy, bcz, bpnx, bpny, bpnz,
+     bar, bag, bab, brf, brg, bcl, bpl) = hitrec
+
+    hit = best_t < f32(1e37)
+
+    # sky on miss (mg_ray_tracer.cpp:164)
+    ts_ = 0.5 * (dy + 1.0)
+    mf = (lv & ~hit).astype(f32)
+    contrib = (mf * tr * (1.0 - 0.5 * ts_),
+               mf * tg * (1.0 - 0.3 * ts_),
+               mf * tb)
+
+    live_h = lv & hit
+    t_safe = jnp.where(hit, best_t, 0.0)
+    hx = ox + t_safe * dx
+    hy = oy + t_safe * dy
+    hz = oz + t_safe * dz
+
+    snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
+    sinv = jax.lax.rsqrt(
+        jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
+    ispl = bpl > 0.0
+    nx = jnp.where(ispl, bpnx, snx * sinv)
+    ny = jnp.where(ispl, bpny, sny * sinv)
+    nz = jnp.where(ispl, bpnz, snz * sinv)
+
+    ux = u01()
+    uy = u01()
+    uz = u01()
+    if rng_mode == "sphere":
+        ux = 2.0 * ux - 1.0
+        uy = 2.0 * uy - 1.0
+        uz = 2.0 * uz - 1.0
+    uinv = jax.lax.rsqrt(
+        jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
+    ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
+    coin = u01()
+
+    # lambert (mg_ray_tracer.cpp:109-123)
+    lx, ly, lz = nx + ux, ny + uy, nz + uz
+    ln2 = lx * lx + ly * ly + lz * lz
+    ldeg = ln2 < 1e-16
+    linv = jax.lax.rsqrt(jnp.where(ldeg, 1.0, ln2))
+    lx = jnp.where(ldeg, nx, lx * linv)
+    ly = jnp.where(ldeg, ny, ly * linv)
+    lz = jnp.where(ldeg, nz, lz * linv)
+
+    # metal (mg_ray_tracer.cpp:125-140)
+    dd = dx * nx + dy * ny + dz * nz
+    rx = dx - 2.0 * dd * nx
+    ry = dy - 2.0 * dd * ny
+    rz = dz - 2.0 * dd * nz
+    mx = rx + brg * ux
+    my = ry + brg * uy
+    mz = rz + brg * uz
+    mabs = (mx * nx + my * ny + mz * nz) <= 0.0
+    minv = jax.lax.rsqrt(
+        jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
+    mx, my, mz = mx * minv, my * minv, mz * minv
+
+    # dielectric (sm_ray_tracer.cpp:181-219)
+    inside = dd > 0.0
+    sgn = jnp.where(inside, f32(-1.0), f32(1.0))
+    onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
+    eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
+    cosine = jnp.where(inside, brf * dd, -dd)
+    cos_i = -(dx * onx + dy * ony + dz * onz)
+    sin2 = eta * eta * (1.0 - cos_i * cos_i)
+    tir = sin2 > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+    fxx = eta * dx + (eta * cos_i - cos_t) * onx
+    fyy = eta * dy + (eta * cos_i - cos_t) * ony
+    fzz = eta * dz + (eta * cos_i - cos_t) * onz
+    r0 = (1.0 - brf) / (1.0 + brf)
+    r0 = r0 * r0
+    omc = 1.0 - cosine
+    omc2 = omc * omc
+    prob = jnp.where(tir, 1.0, r0 + (1.0 - r0) * omc2 * omc2 * omc)
+    refl_bit = coin < prob
+    gx = jnp.where(refl_bit, rx, fxx)
+    gy = jnp.where(refl_bit, ry, fyy)
+    gz = jnp.where(refl_bit, rz, fzz)
+    ginv = jax.lax.rsqrt(
+        jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+    gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
+
+    is_met = bcl == 1.0
+    is_die = bcl == 2.0
+    ndx = jnp.where(is_met, mx, lx)
+    ndy = jnp.where(is_met, my, ly)
+    ndz = jnp.where(is_met, mz, lz)
+    ndx = jnp.where(is_die, gx, ndx)
+    ndy = jnp.where(is_die, gy, ndy)
+    ndz = jnp.where(is_die, gz, ndz)
+
+    alive = live_h & ~(is_met & mabs)
+    af = alive.astype(f32)
+    naf = 1.0 - af
+    tr = tr * (naf + af * bar * brf)
+    tg = tg * (naf + af * bag * brf)
+    tb = tb * (naf + af * bab * brf)
+
+    lh = live_h.astype(f32)
+    nlh = 1.0 - lh
+    ox = nlh * ox + lh * hx
+    oy = nlh * oy + lh * hy
+    oz = nlh * oz + lh * hz
+    dx = nlh * dx + lh * ndx
+    dy = nlh * dy + lh * ndy
+    dz = nlh * dz + lh * ndz
+    return contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), af
+
+
 def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                            max_bounces, rng_mode, rng_impl, center_sample,
                            block=_BLOCK, mxu=False, scan="payload",
@@ -345,540 +904,20 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
             live = one
 
             for b in range(max_bounces):
-                lv = live > 0.0
-
-                # ---- blockwise closest-hit scan --------------------------
-                # carry: best_t, payload slots, is-plane flag (all f32).
-                init = (
-                    jnp.full(shape, f32(_BIG)),  # 0 best_t
-                    zero, zero, zero,            # 1-3 sphere centre
-                    zero, zero, zero,            # 4-6 plane normal
-                    zero, zero, zero,            # 7-9 albedo rgb
-                    one, zero, zero,             # 10 refl, 11 rough, 12 cls
-                    zero,                        # 13 is-plane
-                )
-
-                def scan_planes(ib, carry):
-                    blk = pln_ref[pl.ds(ib * p_block, p_block), :]
-                    pnx = blk[:, 0:1]
-                    pny = blk[:, 1:2]
-                    pnz = blk[:, 2:3]
-                    pdd = blk[:, 3:4]
-                    nd = pnx * dx + pny * dy + pnz * dz
-                    no = pnx * ox + pny * oy + pnz * oz + pdd
-                    safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
-                    t = -no / safe
-                    valid = (ib * p_block + prowi) < n_pln
-                    ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
-                    t = jnp.where(ok, t, f32(_BIG))
-                    tmin = jnp.min(t, axis=0, keepdims=True)
-                    winrow = jnp.min(jnp.where(t == tmin, prowf, f32(1e9)),
-                                     axis=0, keepdims=True)
-                    msk = ((t == tmin) & (prowf == winrow)).astype(f32)
-
-                    best_t = carry[0]
-                    better = tmin < best_t  # strict: earliest index wins
-
-                    def pick(c):
-                        return jnp.sum(msk * blk[:, c:c + 1], axis=0,
-                                       keepdims=True)
-
-                    new = (
-                        jnp.where(better, tmin, best_t),
-                        carry[1], carry[2], carry[3],
-                        jnp.where(better, pick(0), carry[4]),
-                        jnp.where(better, pick(1), carry[5]),
-                        jnp.where(better, pick(2), carry[6]),
-                        jnp.where(better, pick(4), carry[7]),
-                        jnp.where(better, pick(5), carry[8]),
-                        jnp.where(better, pick(6), carry[9]),
-                        jnp.where(better, pick(7), carry[10]),
-                        jnp.where(better, pick(8), carry[11]),
-                        jnp.where(better, pick(9), carry[12]),
-                        jnp.where(better, one, carry[13]),
-                    )
-                    return new
-
-                def scan_spheres(ib, carry):
-                    blk = sph_ref[pl.ds(ib * s_block, s_block), :]
-                    cx = blk[:, 0:1]
-                    cy = blk[:, 1:2]
-                    cz = blk[:, 2:3]
-                    rad = blk[:, 3:4]
-                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                    bq = ocx * dx + ocy * dy + ocz * dz
-                    c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                    disc = bq * bq - c0
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    t0 = -bq - sq
-                    t1 = -bq + sq
-                    t = jnp.where(t0 >= _MIN_HIT, t0, t1)
-                    valid = (ib * s_block + srowi) < n_sph
-                    ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
-                    t = jnp.where(ok, t, f32(_BIG))
-                    tmin = jnp.min(t, axis=0, keepdims=True)
-                    winrow = jnp.min(jnp.where(t == tmin, srowf, f32(1e9)),
-                                     axis=0, keepdims=True)
-                    msk = ((t == tmin) & (srowf == winrow)).astype(f32)
-
-                    best_t = carry[0]
-                    # spheres win a plane tie, strict '<' among themselves
-                    better = (tmin < best_t) | (
-                        (tmin == best_t) & (carry[13] > 0.0) & (tmin < f32(_BIG))
-                    )
-
-                    def pick(c):
-                        return jnp.sum(msk * blk[:, c:c + 1], axis=0,
-                                       keepdims=True)
-
-                    new = (
-                        jnp.where(better, tmin, best_t),
-                        jnp.where(better, pick(0), carry[1]),
-                        jnp.where(better, pick(1), carry[2]),
-                        jnp.where(better, pick(2), carry[3]),
-                        carry[4], carry[5], carry[6],
-                        jnp.where(better, pick(4), carry[7]),
-                        jnp.where(better, pick(5), carry[8]),
-                        jnp.where(better, pick(6), carry[9]),
-                        jnp.where(better, pick(7), carry[10]),
-                        jnp.where(better, pick(8), carry[11]),
-                        jnp.where(better, pick(9), carry[12]),
-                        jnp.where(better, zero, carry[13]),
-                    )
-                    return new
-
-                if mxu:
-                    # per-bounce ray-side matmul operands (K on sublanes)
-                    d3 = jnp.concatenate([dx, dy, dz], axis=0)          # (3,L)
-                    o4s = jnp.concatenate([one, ox, oy, oz], axis=0)    # (4,L)
-                    o4p = jnp.concatenate([ox, oy, oz, one], axis=0)    # (4,L)
-                    odot = ox * dx + oy * dy + oz * dz
-                    onorm = ox * ox + oy * oy + oz * oz
-
-                def scan_planes_mxu(ib, carry):
-                    blk = pln_ref[:, pl.ds(ib * p_block, p_block)]  # (16, B)
-                    nd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
-                    no = _dot(blk[0:4], o4p, (((0,), (0,)), ((), ())))
-                    safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
-                    t = -no / safe
-                    valid = (ib * p_block + prowi) < n_pln
-                    ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
-                    t = jnp.where(ok, t, f32(_BIG))
-                    tmin = jnp.min(t, axis=0, keepdims=True)
-                    winrow = jnp.min(jnp.where(t == tmin, prowf, f32(1e9)),
-                                     axis=0, keepdims=True)
-                    msk = ((t == tmin) & (prowf == winrow)).astype(f32)
-                    best_t = carry[0]
-                    better = tmin < best_t  # strict: earliest index wins
-                    # winner payload: one-hot contraction on the MXU (exact:
-                    # f32 values split exactly over the bf16 passes, 0/1
-                    # mask, f32 accumulate)
-                    pay = _dot(blk, msk, (((1,), (0,)), ((), ())))  # (16, L)
-                    new = (
-                        jnp.where(better, tmin, best_t),
-                        carry[1], carry[2], carry[3],
-                        jnp.where(better, pay[0:1], carry[4]),
-                        jnp.where(better, pay[1:2], carry[5]),
-                        jnp.where(better, pay[2:3], carry[6]),
-                        jnp.where(better, pay[4:5], carry[7]),
-                        jnp.where(better, pay[5:6], carry[8]),
-                        jnp.where(better, pay[6:7], carry[9]),
-                        jnp.where(better, pay[7:8], carry[10]),
-                        jnp.where(better, pay[8:9], carry[11]),
-                        jnp.where(better, pay[9:10], carry[12]),
-                        jnp.where(better, one, carry[13]),
-                    )
-                    return new
-
-                def scan_spheres_mxu(ib, carry):
-                    blk = sph_ref[:, pl.ds(ib * s_block, s_block)]  # (16, B)
-                    # bq = oc.d = o.d - C@D; c0 = |oc|^2 - r^2
-                    #    = |o|^2 + [cnorm, -2c] @ [1, o]
-                    cd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
-                    c0p = _dot(blk[10:14], o4s, (((0,), (0,)), ((), ())))
-                    bq = odot - cd
-                    c0 = onorm + c0p
-                    disc = bq * bq - c0
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    t0 = -bq - sq
-                    t1 = -bq + sq
-                    t = jnp.where(t0 >= _MIN_HIT, t0, t1)
-                    valid = (ib * s_block + srowi) < n_sph
-                    ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
-                    t = jnp.where(ok, t, f32(_BIG))
-                    tmin = jnp.min(t, axis=0, keepdims=True)
-                    winrow = jnp.min(jnp.where(t == tmin, srowf, f32(1e9)),
-                                     axis=0, keepdims=True)
-                    msk = ((t == tmin) & (srowf == winrow)).astype(f32)
-                    best_t = carry[0]
-                    # spheres win a plane tie, strict '<' among themselves
-                    better = (tmin < best_t) | (
-                        (tmin == best_t) & (carry[13] > 0.0) & (tmin < f32(_BIG))
-                    )
-                    pay = _dot(blk, msk, (((1,), (0,)), ((), ())))  # (16, L)
-                    new = (
-                        jnp.where(better, tmin, best_t),
-                        jnp.where(better, pay[0:1], carry[1]),
-                        jnp.where(better, pay[1:2], carry[2]),
-                        jnp.where(better, pay[2:3], carry[3]),
-                        carry[4], carry[5], carry[6],
-                        jnp.where(better, pay[4:5], carry[7]),
-                        jnp.where(better, pay[5:6], carry[8]),
-                        jnp.where(better, pay[6:7], carry[9]),
-                        jnp.where(better, pay[7:8], carry[10]),
-                        jnp.where(better, pay[8:9], carry[11]),
-                        jnp.where(better, pay[9:10], carry[12]),
-                        jnp.where(better, zero, carry[13]),
-                    )
-                    return new
-
-                # ---- lean-carry scan (scan="lean") -----------------------
-                # The payload-carry scans above spend ~half their VPU ops on
-                # the 10 masked `pick()` reductions per block.  The reverse
-                # sweep of the grad kernel taught us the fix (pallas_grad
-                # lean mode): the scan only needs to *identify* the winner —
-                # carry (best_t, global winner index, is-plane) and fetch the
-                # payload ONCE per bounce afterwards with an exact one-hot
-                # contraction over the whole table (0/1 mask x f32 payload
-                # splits exactly across the bf16 MXU passes under HIGHEST, so
-                # the fetched values are bit-identical to a VPU select).
-                # carry: (best_t, winner TABLE row, winner ORIGINAL index,
-                # is-plane).  The original-index slot exists so a spatially
-                # sorted sphere table (order="morton") still reproduces the
-                # reference's first-index-wins tie rule exactly: the running
-                # compare is the lexicographic min over (t, original index)
-                # with the spheres-beat-planes exception.
-                lean_init = (jnp.full(shape, f32(_BIG)), zero,
-                             jnp.full(shape, f32(_BIG)), zero)
-
-                def lean_planes(ib, carry):
-                    if mxu:
-                        blk = pln_ref[:, pl.ds(ib * p_block, p_block)]
-                        nd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
-                        no = _dot(blk[0:4], o4p, (((0,), (0,)), ((), ())))
-                    else:
-                        blk = pln_ref[pl.ds(ib * p_block, p_block), :]
-                        pnx = blk[:, 0:1]
-                        pny = blk[:, 1:2]
-                        pnz = blk[:, 2:3]
-                        pdd = blk[:, 3:4]
-                        nd = pnx * dx + pny * dy + pnz * dz
-                        no = pnx * ox + pny * oy + pnz * oz + pdd
-                    safe = jnp.where(jnp.abs(nd) > 1e-12, nd, f32(1.0))
-                    t = -no / safe
-                    valid = (ib * p_block + prowi) < n_pln
-                    ok = valid & (jnp.abs(nd) > 1e-12) & (t >= _MIN_HIT)
-                    t = jnp.where(ok, t, f32(_BIG))
-                    tmin = jnp.min(t, axis=0, keepdims=True)
-                    winrow = jnp.min(jnp.where(t == tmin, prowf, f32(1e9)),
-                                     axis=0, keepdims=True)
-                    best_t, browf, bgidxf, isplf = carry
-                    better = tmin < best_t  # strict: earliest index wins
-                    gwin = f32(1.0) * ib * p_block + winrow
-                    return (jnp.where(better, tmin, best_t),
-                            jnp.where(better, gwin, browf),
-                            jnp.where(better, gwin, bgidxf),
-                            jnp.where(better, one, isplf))
-
-                def lean_spheres(ib, carry):
-                    if mxu:
-                        blk = sph_ref[:, pl.ds(ib * s_block, s_block)]
-                        cd = _dot(blk[0:3], d3, (((0,), (0,)), ((), ())))
-                        c0p = _dot(blk[10:14], o4s, (((0,), (0,)), ((), ())))
-                        bq = odot - cd
-                        c0 = onorm + c0p
-                    else:
-                        blk = sph_ref[pl.ds(ib * s_block, s_block), :]
-                        cx = blk[:, 0:1]
-                        cy = blk[:, 1:2]
-                        cz = blk[:, 2:3]
-                        rad = blk[:, 3:4]
-                        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                        bq = ocx * dx + ocy * dy + ocz * dz
-                        c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                    disc = bq * bq - c0
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    t0 = -bq - sq
-                    t1 = -bq + sq
-                    t = jnp.where(t0 >= _MIN_HIT, t0, t1)
-                    valid = (ib * s_block + srowi) < n_sph
-                    ok = valid & (disc >= 0.0) & (t >= _MIN_HIT)
-                    t = jnp.where(ok, t, f32(_BIG))
-                    gcol = blk[14:15].T if mxu else blk[:, 10:11]
-                    tmin = jnp.min(t, axis=0, keepdims=True)
-                    # among equal-t rows: the one with the smallest ORIGINAL
-                    # index wins (original indices are unique, so the mask
-                    # selects exactly one row)
-                    wingidx = jnp.min(jnp.where(t == tmin, gcol, f32(1e9)),
-                                      axis=0, keepdims=True)
-                    wmsk = ((t == tmin) & (gcol == wingidx)).astype(f32)
-                    winrow = jnp.sum(wmsk * srowf, axis=0, keepdims=True)
-                    best_t, browf, bgidxf, isplf = carry
-                    # spheres win a plane tie; among spheres the smaller
-                    # original index wins (== the reference's scan order)
-                    better = (tmin < best_t) | (
-                        (tmin == best_t) & (tmin < f32(_BIG))
-                        & ((isplf > 0.0) | (wingidx < bgidxf))
-                    )
-                    gwin = f32(1.0) * ib * s_block + winrow
-                    return (jnp.where(better, tmin, best_t),
-                            jnp.where(better, gwin, browf),
-                            jnp.where(better, wingidx, bgidxf),
-                            jnp.where(better, zero, isplf))
-
-                def lean_seed(carry):
-                    """Partial scan over the per-block representative
-                    subset (see _seed_table) — tightens best_t so the
-                    grouped cull's t-window fires from the first group."""
-                    blk = seed_ref[...]
-                    cx = blk[:, 0:1]
-                    cy = blk[:, 1:2]
-                    cz = blk[:, 2:3]
-                    rad = blk[:, 3:4]
-                    gcol = blk[:, 10:11]
-                    rowcol = blk[:, 11:12]
-                    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                    bq = ocx * dx + ocy * dy + ocz * dz
-                    c0 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                    disc = bq * bq - c0
-                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    t0 = -bq - sq
-                    t1 = -bq + sq
-                    t = jnp.where(t0 >= _MIN_HIT, t0, t1)
-                    ok = (rad > 0.0) & (disc >= 0.0) & (t >= _MIN_HIT)
-                    t = jnp.where(ok, t, f32(_BIG))
-                    tmin = jnp.min(t, axis=0, keepdims=True)
-                    wingidx = jnp.min(jnp.where(t == tmin, gcol, f32(1e9)),
-                                      axis=0, keepdims=True)
-                    wmsk = ((t == tmin) & (gcol == wingidx)).astype(f32)
-                    winrow = jnp.sum(wmsk * rowcol, axis=0, keepdims=True)
-                    best_t, browf, bgidxf, isplf = carry
-                    better = (tmin < best_t) | (
-                        (tmin == best_t) & (tmin < f32(_BIG))
-                        & ((isplf > 0.0) | (wingidx < bgidxf))
-                    )
-                    return (jnp.where(better, tmin, best_t),
-                            jnp.where(better, winrow, browf),
-                            jnp.where(better, wingidx, bgidxf),
-                            jnp.where(better, zero, isplf))
-
-                def lean_spheres_culled(ig, carry):
-                    # Grouped block cull: ONE vectorized (G, 128) bounding-
-                    # sphere ray test + ONE branch covers G Morton-adjacent
-                    # blocks.  Per-block branches measured ~break-even on
-                    # v5e (the cond's cross-lane reduce + pipeline bubble
-                    # costs about what one 128-row block scan costs);
-                    # amortizing the branch G-ways makes skips profitable.
-                    arow = aux_ref[pl.ds(ig * cull_group, cull_group), :]
-                    bcx_ = arow[:, 0:1]
-                    bcy_ = arow[:, 1:2]
-                    bcz_ = arow[:, 2:3]
-                    rB = arow[:, 3:4]
-                    ocx_, ocy_, ocz_ = bcx_ - ox, bcy_ - oy, bcz_ - oz
-                    tc = ocx_ * dx + ocy_ * dy + ocz_ * dz
-                    dist2 = ocx_ * ocx_ + ocy_ * ocy_ + ocz_ * ocz_
-                    # perp2 = dist2 - tc^2 cancels catastrophically for
-                    # distant blocks: pad every comparison by a few-ulp
-                    # margin of its operands so f32 rounding can only make
-                    # the test MORE permissive (exact-argmin guarantee)
-                    perp2 = dist2 - tc * tc
-                    m2 = f32(4e-6) * dist2 + f32(1e-6)
-                    mt = f32(1e-6) * (jnp.abs(tc) + 1.0)
-                    best_t = carry[0]
-                    poss = (lv & (perp2 <= rB * rB + m2)
-                            & (tc + rB + mt >= f32(_MIN_HIT))
-                            & (tc - rB - mt <= best_t))
-
-                    def scan_group(c, ig=ig):
-                        for j in range(cull_group):
-                            c = lean_spheres(ig * cull_group + j, c)
-                        return c
-
-                    return jax.lax.cond(
-                        jnp.sum(poss.astype(f32)) > 0.0,
-                        scan_group, lambda c: c, carry)
-
-                n_pblk = (n_pln + p_block - 1) // p_block
-                n_sblk = (n_sph + s_block - 1) // s_block
-                n_sgrp = (n_sblk + cull_group - 1) // cull_group
-                if scan == "lean":
-                    plane_fn = lean_planes
-                    sphere_fn = lean_spheres_culled if cull else lean_spheres
-                else:
-                    plane_fn = scan_planes_mxu if mxu else scan_planes
-                    sphere_fn = scan_spheres_mxu if mxu else scan_spheres
-
-                def extract(rec):
-                    """Lean carries -> the 14-slot payload tuple, via one
-                    one-hot contraction per table (exact, see above)."""
-                    best_t, bidxf, _bgidxf, isplf = rec
-                    hitb = best_t < f32(1e37)
-                    # Mosaic iota must be integer-typed; bidx is a small
-                    # exact integer in f32, so the int cast is lossless
-                    bidx_i = bidxf.astype(jnp.int32)
-                    s_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (s_pad, _LANES), 0)
-                    p_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (p_pad, _LANES), 0)
-                    s_oh = ((s_iota == bidx_i) & hitb
-                            & (isplf == 0.0)).astype(f32)
-                    p_oh = ((p_iota == bidx_i) & (isplf > 0.0)).astype(f32)
-                    if mxu:
-                        s_pay = _dot(sph_ref[...], s_oh,
-                                     (((1,), (0,)), ((), ())))
-                        p_pay = _dot(pln_ref[...], p_oh,
-                                     (((1,), (0,)), ((), ())))
-                    else:
-                        s_pay = _dot(sph_ref[...], s_oh,
-                                     (((0,), (0,)), ((), ())))
-                        p_pay = _dot(pln_ref[...], p_oh,
-                                     (((0,), (0,)), ((), ())))
-                    pick = lambda pay, c: pay[c:c + 1]
-                    sel = lambda c: jnp.where(isplf > 0.0, pick(p_pay, c),
-                                              pick(s_pay, c))
-                    return (
-                        best_t,
-                        pick(s_pay, 0), pick(s_pay, 1), pick(s_pay, 2),
-                        pick(p_pay, 0), pick(p_pay, 1), pick(p_pay, 2),
-                        sel(4), sel(5), sel(6),
-                        # miss lanes fetch nothing: refl falls to 0, but the
-                        # payload-carry default is 1 — restore it (eta/r0
-                        # math divides by refl before the live mask applies)
-                        jnp.where(hitb, sel(7), one),
-                        sel(8), sel(9), isplf,
-                    )
-
-                def do_scan(_):
-                    rec = jax.lax.fori_loop(0, n_pblk, plane_fn,
-                                            lean_init if scan == "lean"
-                                            else init)
-                    if cull:
-                        rec = lean_seed(rec)
-                    rec = jax.lax.fori_loop(0, n_sgrp if cull else n_sblk,
-                                            sphere_fn, rec)
-                    return extract(rec) if scan == "lean" else rec
-
-                if b == 0:
-                    hitrec = do_scan(None)
-                else:
-                    # dead-tile early-out: when every ray in the tile has
-                    # terminated, the O(N) scan is skipped (init -> miss,
-                    # and the sky/throughput math is masked by `lv` anyway).
-                    any_live = jnp.sum(live) > 0.0
-                    hitrec = jax.lax.cond(any_live, do_scan,
-                                          lambda _: init, None)
-
-                (best_t, bcx, bcy, bcz, bpnx, bpny, bpnz,
-                 bar, bag, bab, brf, brg, bcl, bpl) = hitrec
-
-                hit = best_t < f32(1e37)
-
-                # sky on miss (mg_ray_tracer.cpp:164)
-                ts_ = 0.5 * (dy + 1.0)
-                mf = (lv & ~hit).astype(f32)
-                acc[0] += mf * tr * (1.0 - 0.5 * ts_)
-                acc[1] += mf * tg * (1.0 - 0.3 * ts_)
-                acc[2] += mf * tb
-
-                live_h = lv & hit
-                t_safe = jnp.where(hit, best_t, 0.0)
-                hx = ox + t_safe * dx
-                hy = oy + t_safe * dy
-                hz = oz + t_safe * dz
-
-                snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
-                sinv = jax.lax.rsqrt(
-                    jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
-                ispl = bpl > 0.0
-                nx = jnp.where(ispl, bpnx, snx * sinv)
-                ny = jnp.where(ispl, bpny, sny * sinv)
-                nz = jnp.where(ispl, bpnz, snz * sinv)
-
-                ux = u01()
-                uy = u01()
-                uz = u01()
-                if rng_mode == "sphere":
-                    ux = 2.0 * ux - 1.0
-                    uy = 2.0 * uy - 1.0
-                    uz = 2.0 * uz - 1.0
-                uinv = jax.lax.rsqrt(
-                    jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
-                ux, uy, uz = ux * uinv, uy * uinv, uz * uinv
-                coin = u01()
-
-                # lambert (mg_ray_tracer.cpp:109-123)
-                lx, ly, lz = nx + ux, ny + uy, nz + uz
-                ln2 = lx * lx + ly * ly + lz * lz
-                ldeg = ln2 < 1e-16
-                linv = jax.lax.rsqrt(jnp.where(ldeg, 1.0, ln2))
-                lx = jnp.where(ldeg, nx, lx * linv)
-                ly = jnp.where(ldeg, ny, ly * linv)
-                lz = jnp.where(ldeg, nz, lz * linv)
-
-                # metal (mg_ray_tracer.cpp:125-140)
-                dd = dx * nx + dy * ny + dz * nz
-                rx = dx - 2.0 * dd * nx
-                ry = dy - 2.0 * dd * ny
-                rz = dz - 2.0 * dd * nz
-                mx = rx + brg * ux
-                my = ry + brg * uy
-                mz = rz + brg * uz
-                mabs = (mx * nx + my * ny + mz * nz) <= 0.0
-                minv = jax.lax.rsqrt(
-                    jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
-                mx, my, mz = mx * minv, my * minv, mz * minv
-
-                # dielectric (sm_ray_tracer.cpp:181-219)
-                inside = dd > 0.0
-                sgn = jnp.where(inside, f32(-1.0), f32(1.0))
-                onx, ony, onz = sgn * nx, sgn * ny, sgn * nz
-                eta = jnp.where(inside, brf, 1.0 / jnp.maximum(brf, 1e-12))
-                cosine = jnp.where(inside, brf * dd, -dd)
-                cos_i = -(dx * onx + dy * ony + dz * onz)
-                sin2 = eta * eta * (1.0 - cos_i * cos_i)
-                tir = sin2 > 1.0
-                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
-                fxx = eta * dx + (eta * cos_i - cos_t) * onx
-                fyy = eta * dy + (eta * cos_i - cos_t) * ony
-                fzz = eta * dz + (eta * cos_i - cos_t) * onz
-                r0 = (1.0 - brf) / (1.0 + brf)
-                r0 = r0 * r0
-                omc = 1.0 - cosine
-                omc2 = omc * omc
-                prob = jnp.where(tir, 1.0, r0 + (1.0 - r0) * omc2 * omc2 * omc)
-                refl_bit = coin < prob
-                gx = jnp.where(refl_bit, rx, fxx)
-                gy = jnp.where(refl_bit, ry, fyy)
-                gz = jnp.where(refl_bit, rz, fzz)
-                ginv = jax.lax.rsqrt(
-                    jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
-                gx, gy, gz = gx * ginv, gy * ginv, gz * ginv
-
-                is_met = bcl == 1.0
-                is_die = bcl == 2.0
-                ndx = jnp.where(is_met, mx, lx)
-                ndy = jnp.where(is_met, my, ly)
-                ndz = jnp.where(is_met, mz, lz)
-                ndx = jnp.where(is_die, gx, ndx)
-                ndy = jnp.where(is_die, gy, ndy)
-                ndz = jnp.where(is_die, gz, ndz)
-
-                alive = live_h & ~(is_met & mabs)
-                af = alive.astype(f32)
-                naf = 1.0 - af
-                tr = tr * (naf + af * bar * brf)
-                tg = tg * (naf + af * bag * brf)
-                tb = tb * (naf + af * bab * brf)
-
-                lh = live_h.astype(f32)
-                nlh = 1.0 - lh
-                ox = nlh * ox + lh * hx
-                oy = nlh * oy + lh * hy
-                oz = nlh * oz + lh * hz
-                dx = nlh * dx + lh * ndx
-                dy = nlh * dy + lh * ndy
-                dz = nlh * dz + lh * ndz
-                live = af
+                contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), live = \
+                    _bounce_once(
+                        (sph_ref, pln_ref,
+                         aux_ref if cull else None,
+                         seed_ref if cull else None),
+                        (n_sph, n_pln),
+                        (ox, oy, oz, dx, dy, dz, tr, tg, tb, live),
+                        u01,
+                        s_pad=s_pad, p_pad=p_pad, block=block, scan=scan,
+                        mxu=mxu, cull=cull, cull_group=cull_group,
+                        rng_mode=rng_mode, skip_cond=(b > 0))
+                acc[0] += contrib[0]
+                acc[1] += contrib[1]
+                acc[2] += contrib[2]
 
         out_ref[0, 0] = acc[0]
         out_ref[0, 1] = acc[1]
@@ -1043,7 +1082,10 @@ def render_forward_blockwise(
         # reference semantics (linear scan, no acceleration structure,
         # mg_ray_tracer.cpp:43-52) and SIMD tiles cap what tile-level
         # bounds can give; recorded deliberately as a negative result.
-        cull = scan == "lean" and not mxu and s_pad >= 2048
+        # (_seed_table/_block_bounds are sized for <=128 blocks, so an
+        # explicitly small ``block`` with a big table opts out.)
+        cull = (scan == "lean" and not mxu and s_pad >= 2048
+                and s_pad // block <= 128)
     if order is None:
         # spatial sort is what gives the cull teeth (see _morton_perm);
         # winner parity is preserved via the original-index tie-break
@@ -1148,7 +1190,8 @@ def render_forward_blockwise_sharded(
     if scan is None:
         scan = "lean" if not mxu else "payload"
     if cull is None:
-        cull = scan == "lean" and not mxu and s_pad >= 2048  # see above
+        cull = (scan == "lean" and not mxu and s_pad >= 2048
+                and s_pad // block <= 128)  # see above
     if order is None:
         order = "morton" if (cull and scene.spheres.count > 1) else "index"
     if mxu:

@@ -53,7 +53,7 @@ session so the ratios are machine-state-independent):
     + acc_scratch + masked-FMA accumulate              3.12       615
     + plane-specialized _smooth + rad-only last
       bounce, rows=32                                  2.80       687
-    + hand-fused reverse (_bounce_reverse_mg) +
+    + hand-fused reverse (_bounce_reverse_noplanes) +
       active-bit stash (round-3 default)               2.62       734
     ===============================================  ========  =========
 
@@ -1830,6 +1830,33 @@ def _compiled_grad(scene_bytes, shapes, *, width, height, max_bounces, rows,
     return call
 
 
+def _default_tune(s_cols, p_cols, rows, rng_impl, mode, lean):
+    """Measured round-3 tune defaults (v5e-1, headline shape; see
+    _make_mono_kernel's tune docstring for the cost splits).  Returns
+    ``(tune, rows)``.  Dielectric scenes get a shorter tile first — the
+    fatter Fresnel reverse chains measured 236 KB OVER the 16 MB
+    scoped-VMEM limit at rows=24 + scratch (round-3 BD job) — and the
+    scratch-accumulator check then uses the FINAL rows, so mid-size
+    dielectric scenes keep scratch when it fits at the reduced tile."""
+    if mode != "mono" or not lean:
+        return (), rows
+    has_die_l = bool((s_cols[9] == 2.0).any() or (p_cols[9] == 2.0).any())
+    if has_die_l and rows > 16:
+        rows = 16
+    n_pr = s_cols.shape[1] + p_cols.shape[1]
+    scratch_ok = 9 * n_pr * rows * 128 * 4 <= (2 << 20)
+    tune = (("acc_scratch",) if scratch_ok else ("acc_outside",))
+    tune += ("fwd_dense",)
+    if rng_impl == "hash":
+        tune += ("recompute_u",)
+    if p_cols.shape[1] == 0 and s_cols.shape[1] > 0:
+        # hand-fused reverse bounce for sphere-only scenes, all material
+        # classes (matches jax.vjp to float eps; measured 705 -> 734
+        # Mrays/s on the headline shape)
+        tune += ("hand_rev",)
+    return tune, rows
+
+
 def pallas_mse_loss_and_grad(
     params,
     scene,
@@ -1894,30 +1921,7 @@ def pallas_mse_loss_and_grad(
 
     s_cols, p_cols = _flatten_primitives(concrete, personality)
     if tune is None:
-        # measured round-3 defaults (v5e-1, headline shape; see
-        # _make_mono_kernel's tune docstring for the cost splits).  The
-        # scratch accumulators are only worth it while they are small;
-        # dielectric scenes get a shorter tile — the fatter Fresnel
-        # reverse chains measured 236 KB OVER the 16 MB scoped-VMEM limit
-        # at rows=24 + scratch (round-3 BD job).
-        if mode == "mono" and lean:
-            n_pr = s_cols.shape[1] + p_cols.shape[1]
-            scratch_ok = 9 * n_pr * rows * 128 * 4 <= (2 << 20)
-            tune = (("acc_scratch",) if scratch_ok else ("acc_outside",))
-            tune += ("fwd_dense",)
-            if rng_impl == "hash":
-                tune += ("recompute_u",)
-            has_die_l = bool((s_cols[9] == 2.0).any()
-                             or (p_cols[9] == 2.0).any())
-            if has_die_l and rows > 16:
-                rows = 16
-            if p_cols.shape[1] == 0 and s_cols.shape[1] > 0:
-                # hand-fused reverse bounce for sphere-only scenes, all
-                # material classes (matches jax.vjp to float eps; measured
-                # 705 -> 734 Mrays/s on the headline shape)
-                tune += ("hand_rev",)
-        else:
-            tune = ()
+        tune, rows = _default_tune(s_cols, p_cols, rows, rng_impl, mode, lean)
     common = dict(
         width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
         rng_mode=rng_mode, lean=lean, rng_impl=rng_impl, interpret=interpret,
@@ -2013,30 +2017,7 @@ def make_mse_step(
 
     s_cols, p_cols = _flatten_primitives(concrete, personality)
     if tune is None:
-        # measured round-3 defaults (v5e-1, headline shape; see
-        # _make_mono_kernel's tune docstring for the cost splits).  The
-        # scratch accumulators are only worth it while they are small;
-        # dielectric scenes get a shorter tile — the fatter Fresnel
-        # reverse chains measured 236 KB OVER the 16 MB scoped-VMEM limit
-        # at rows=24 + scratch (round-3 BD job).
-        if mode == "mono" and lean:
-            n_pr = s_cols.shape[1] + p_cols.shape[1]
-            scratch_ok = 9 * n_pr * rows * 128 * 4 <= (2 << 20)
-            tune = (("acc_scratch",) if scratch_ok else ("acc_outside",))
-            tune += ("fwd_dense",)
-            if rng_impl == "hash":
-                tune += ("recompute_u",)
-            has_die_l = bool((s_cols[9] == 2.0).any()
-                             or (p_cols[9] == 2.0).any())
-            if has_die_l and rows > 16:
-                rows = 16
-            if p_cols.shape[1] == 0 and s_cols.shape[1] > 0:
-                # hand-fused reverse bounce for sphere-only scenes, all
-                # material classes (matches jax.vjp to float eps; measured
-                # 705 -> 734 Mrays/s on the headline shape)
-                tune += ("hand_rev",)
-        else:
-            tune = ()
+        tune, rows = _default_tune(s_cols, p_cols, rows, rng_impl, mode, lean)
     common = dict(
         width=w, height=h, spp=spp, max_bounces=max_bounces, rows=rows,
         rng_mode=rng_mode, lean=lean, rng_impl=rng_impl, interpret=interpret,

@@ -1,0 +1,494 @@
+"""Bounce-major wavefront megakernel: ray compaction + coherence sorting.
+
+The pixel-major blockwise kernel (rt_tpu.ops.pallas_blockwise) owns 128
+FIXED rays per grid step for the whole bounce chain, which leaves two
+structural inefficiencies on big scenes (measured, round 3):
+
+* **dead lanes**: a tile runs the full O(N-primitives) scan until its LAST
+  ray dies — with 8-bounce paths and ~50%/bounce termination most lanes in
+  most tiles are dead for most bounces (the tile-level early-out only fires
+  when all 128 die);
+* **divergence**: after one diffuse bounce the 128 rays of a tile span the
+  whole hemisphere, so the conservative per-block bounding-sphere cull has
+  nothing to skip (the round-3 negative result: 1.06x — see
+  pallas_blockwise.py, "tile culling is a proven dead end at tile
+  granularity with divergent rays").
+
+This module restructures the SAME computation bounce-major (the wavefront
+formulation, cf. PAPERS.md "Megakernel vs Wavefront GPU Path Tracing"):
+ray state lives in HBM as a (16, N) table (attributes on sublanes, rays on
+lanes), one Pallas kernel advances every ray by ONE bounce, and between
+bounces the host (inside the same jit) re-orders rays:
+
+* **compaction**: dead rays sort to the back, so whole trailing tiles are
+  dead and the per-tile early-out actually fires — work becomes
+  proportional to sum(live) instead of #tiles-with-any-live;
+* **coherence**: live rays sort by direction octant + coarse origin cell
+  (bounds adapted per bounce from the live origins), so the rays sharing a
+  tile agree about which primitive blocks are reachable and the
+  per-block bounding-sphere cull (reused unchanged from pallas_blockwise)
+  finally has teeth.
+
+Correctness: the per-bounce physics is literally the same function
+(`pallas_blockwise._bounce_once`), and the RNG is the counter hash keyed by
+(pixel, sample, bounce) — a ray's random draws are independent of where the
+sort put it, so the ESTIMATOR is unchanged by reordering: every ray traces
+the same path and lands the same radiance as in the pixel-major kernel's
+``rng_impl="hash"`` mode, and the frames agree to float-association noise
+(<= a few ULP — the two jit programs fuse/contract the shared bounce math
+differently; asserted at atol 2e-5 by tests/test_pallas_wavefront.py).
+The stateful TPU hardware PRNG cannot offer that property (its stream is
+tile-order dependent), hence this kernel is hash-RNG only.
+
+Tie-breaking, scan order, sky, scatter semantics: reference
+mg_ray_tracer.cpp:36-174 via _bounce_once; see pallas_blockwise.py.
+
+State row layout (f32):
+  0-2  origin        3-5  direction      6-8  throughput
+  9-11 radiance acc  12   live flag      13   pixel index
+  14   sample index  15   (spare)
+Pixel/sample indices are exact small integers in f32 (<= 2^24).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_render import _flatten_primitives
+from .pallas_blockwise import (
+    _BLOCK,
+    _COLS,
+    _LANES,
+    _auto_cull_group,
+    _block_bounds,
+    _bounce_once,
+    _bucket,
+    _morton_perm,
+    _padded_table,
+    _seed_table,
+    blockwise_supported,
+)
+
+__all__ = ["render_forward_wavefront", "wavefront_supported"]
+
+
+def wavefront_supported(scene, include_boxes: bool = False) -> bool:
+    """Same scene envelope as the blockwise kernel (the bounce body is
+    shared); additionally the frame's ray count must keep pixel ids exact
+    in f32 (checked at call time against 2^24)."""
+    return blockwise_supported(scene, include_boxes)
+
+
+def _hash_u01_dyn(pix, seed, ctr, shape):
+    """`pallas_render._hash_u01` with a TRACED draw counter: identical
+    bits (the int32 arithmetic wraps the same whether ctr is a Python int
+    or a traced int32), which is what lets one compiled bounce kernel
+    serve every bounce index while reproducing the pixel-major kernel's
+    draw-for-draw stream."""
+    i32 = jnp.int32
+    x = (pix * i32(-1640531527) + seed * i32(97929)
+         + ctr * i32(30103) + i32(1))
+    x = jnp.broadcast_to(x, shape)
+    u = x.astype(jnp.uint32)
+    u = u ^ (u >> 16)
+    u = u * jnp.uint32(0x7FEB352D)
+    u = u ^ (u >> 15)
+    u = u * jnp.uint32(0x846CA68B)
+    u = u ^ (u >> 16)
+    top24 = jax.lax.bitcast_convert_type(u >> 8, i32)
+    return top24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
+                    center_sample, gen, block, cull, cull_group):
+    """Wavefront kernel body.
+
+    ``gen=True``: raygen + bounce 0.  No state input; pixel/sample ids
+    derive from the grid position (rays start in pixel order — already
+    coherent, no sort needed before bounce 0).  ``gen=False``: one bounce
+    ``b`` (dynamic, from meta) for a 128-ray state tile.
+
+    meta (SMEM int32): [seed, n_spheres, n_planes, bounce_b].
+    cam (SMEM f32): as pallas_blockwise (only used when ``gen``).
+    """
+    f32 = jnp.float32
+    shape = (1, _LANES)
+    n_pix = width * height
+    draws_per_sample = 2 + 4 * max_bounces
+
+    def kernel(meta_ref, cam_ref, sph_ref, pln_ref, *rest):
+        if cull:
+            aux_ref, seed_ref = rest[0], rest[1]
+            rest = rest[2:]
+        else:
+            aux_ref, seed_ref = None, None
+        if gen:
+            (out_ref,) = rest
+        else:
+            state_ref, out_ref = rest
+
+        seed = meta_ref[0]
+        n_sph = meta_ref[1]
+        n_pln = meta_ref[2]
+
+        if gen:
+            tile = pl.program_id(0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            idx = tile * _LANES + lane
+            pix = idx % n_pix
+            smp = idx // n_pix
+            live0 = (idx < meta_ref[4]).astype(f32)  # meta[4] = n_rays
+            # draws 1-2 are the pixel jitter, 3-6 bounce 0's quad — the
+            # same 1-based per-sample counters as the pixel-major kernel
+            base = smp * jnp.int32(draws_per_sample)
+        else:
+            pix = state_ref[13:14, :].astype(jnp.int32)
+            smp = state_ref[14:15, :].astype(jnp.int32)
+            b_dyn = meta_ref[3]
+            # bounce b's draws are jitter(2) + 4 per earlier bounce in
+            base = (smp * jnp.int32(draws_per_sample) + jnp.int32(2)
+                    + jnp.int32(4) * b_dyn)
+
+        kctr = [0]
+
+        def u01():
+            kctr[0] += 1
+            return _hash_u01_dyn(pix, seed, base + jnp.int32(kctr[0]),
+                                 shape)
+
+        if gen:
+            # raygen: identical float ops to the pixel-major kernel
+            # (pallas_blockwise._make_blockwise_kernel raygen block)
+            px = (pix % width).astype(f32)
+            py = (pix // width).astype(f32)
+            u = u01()
+            v = u01()
+            if center_sample:
+                ctr0 = (smp == 0)
+                jx = jnp.where(ctr0, f32(0.5), u)
+                jy = jnp.where(ctr0, f32(0.5), v)
+            else:
+                jx, jy = u, v
+            cpx, cpy, cpz = cam_ref[0], cam_ref[1], cam_ref[2]
+            r = [cam_ref[3 + i] for i in range(9)]
+            tan_half, aspect, near = cam_ref[12], cam_ref[13], cam_ref[14]
+            nx_ = 2.0 * (px + jx) * f32(1.0 / width) - 1.0
+            ny_ = 1.0 - 2.0 * (py + jy) * f32(1.0 / height)
+            dvx = nx_ * tan_half * aspect
+            dvy = ny_ * tan_half
+            dwx = r[0] * dvx + r[1] * dvy - r[2]
+            dwy = r[3] * dvx + r[4] * dvy - r[5]
+            dwz = r[6] * dvx + r[7] * dvy - r[8]
+            ox = cpx + dwx * near
+            oy = cpy + dwy * near
+            oz = cpz + dwz * near
+            inv = jax.lax.rsqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+            dx, dy, dz = dwx * inv, dwy * inv, dwz * inv
+            one = jnp.ones(shape, f32)
+            tr = one
+            tg = one
+            tb = one
+            live = live0
+            acc = [jnp.zeros(shape, f32) for _ in range(3)]
+        else:
+            ox = state_ref[0:1, :]
+            oy = state_ref[1:2, :]
+            oz = state_ref[2:3, :]
+            dx = state_ref[3:4, :]
+            dy = state_ref[4:5, :]
+            dz = state_ref[5:6, :]
+            tr = state_ref[6:7, :]
+            tg = state_ref[7:8, :]
+            tb = state_ref[8:9, :]
+            acc = [state_ref[9 + c:10 + c, :] for c in range(3)]
+            live = state_ref[12:13, :]
+
+        contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), live = \
+            _bounce_once(
+                (sph_ref, pln_ref, aux_ref, seed_ref),
+                (n_sph, n_pln),
+                (ox, oy, oz, dx, dy, dz, tr, tg, tb, live),
+                u01,
+                s_pad=s_pad, p_pad=p_pad, block=block, scan="lean",
+                mxu=False, cull=cull, cull_group=cull_group,
+                rng_mode=rng_mode, skip_cond=not gen)
+        acc = [acc[c] + contrib[c] for c in range(3)]
+
+        out_ref[0:1, :] = ox
+        out_ref[1:2, :] = oy
+        out_ref[2:3, :] = oz
+        out_ref[3:4, :] = dx
+        out_ref[4:5, :] = dy
+        out_ref[5:6, :] = dz
+        out_ref[6:7, :] = tr
+        out_ref[7:8, :] = tg
+        out_ref[8:9, :] = tb
+        out_ref[9:10, :] = acc[0]
+        out_ref[10:11, :] = acc[1]
+        out_ref[11:12, :] = acc[2]
+        out_ref[12:13, :] = live
+        out_ref[13:14, :] = pix.astype(f32)
+        out_ref[14:15, :] = smp.astype(f32)
+        out_ref[15:16, :] = jnp.zeros(shape, f32)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
+                      center_sample, gen, block, cull, cull_group, n_tiles,
+                      interpret):
+    kernel = _make_wf_kernel(
+        width=width, height=height, s_pad=s_pad, p_pad=p_pad,
+        max_bounces=max_bounces, rng_mode=rng_mode,
+        center_sample=center_sample, gen=gen, block=block, cull=cull,
+        cull_group=cull_group,
+    )
+    in_specs = [
+        pl.BlockSpec((s_pad, _COLS), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_pad, _COLS), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if cull:
+        nb_pad = -(-(s_pad // block) // 8) * 8
+        in_specs.append(pl.BlockSpec((nb_pad, 128), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((128, _COLS), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    if not gen:
+        in_specs.append(pl.BlockSpec((16, _LANES), lambda i, *_: (0, i),
+                                     memory_space=pltpu.VMEM))
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # meta, cam
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((16, _LANES), lambda i, *_: (0, i),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((16, n_tiles * _LANES), jnp.float32),
+        interpret=interpret,
+    )
+    return call
+
+
+def _sort_key(state, cell_bits: int):
+    """int32 sort key per ray: dead rays last, then direction octant,
+    then a coarse origin cell on bounds ADAPTED from the live origins
+    (robust to the r=1000 ground sphere dwarfing the scene extent)."""
+    i32 = jnp.int32
+    live = state[12] > 0.0
+    octant = ((state[3] > 0).astype(i32) * 4 + (state[4] > 0).astype(i32) * 2
+              + (state[5] > 0).astype(i32))
+    nc = 1 << cell_bits
+    cell = jnp.zeros_like(octant)
+    for a in range(3):
+        o = state[a]
+        big = jnp.float32(3e38)
+        lo = jnp.min(jnp.where(live, o, big))
+        hi = jnp.max(jnp.where(live, o, -big))
+        span = jnp.maximum(hi - lo, 1e-6)
+        q = jnp.clip((o - lo) / span * nc, 0, nc - 1).astype(i32)
+        cell = (cell << cell_bits) | q
+    dead_shift = 3 + 3 * cell_bits
+    key = (octant << (3 * cell_bits)) | cell
+    key = jnp.where(live, key, i32(1) << dead_shift)
+    return key
+
+
+def _sort_state(state, cell_bits: int, sort_mode: str):
+    key = _sort_key(state, cell_bits)
+    if sort_mode == "gather":
+        perm = jnp.argsort(key, stable=True)
+        return state[:, perm]
+    ops = (key,) + tuple(state[i] for i in range(16))
+    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    return jnp.stack(out[1:], axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
+                       max_bounces, rng_mode, gamma, center_first, interpret,
+                       block, cull, cull_group, sort_schedule, sort_mode,
+                       cell_bits):
+    """Jitted frame: per chunk, gen kernel (raygen + bounce 0), then one
+    bounce kernel per remaining bounce with sort/compaction between the
+    bounces named in ``sort_schedule``; per-ray radiance is re-ordered
+    back to (sample, pixel) order with a key sort and reduced in exactly
+    the pixel-major kernel's addition order (bit parity, see module
+    docstring)."""
+    n_pix = width * height
+    chunk_sizes = []
+    remaining = spp
+    while remaining > 0:
+        k = min(spp_chunk, remaining)
+        chunk_sizes.append(k)
+        remaining -= k
+
+    def calls_for(k, center):
+        n_rays = n_pix * k
+        n_tiles = -(-n_rays // _LANES)
+        common = dict(width=width, height=height, s_pad=s_pad, p_pad=p_pad,
+                      max_bounces=max_bounces, rng_mode=rng_mode,
+                      block=block, cull=cull, cull_group=cull_group,
+                      n_tiles=n_tiles, interpret=interpret)
+        gen = _compiled_wf_call(center_sample=center, gen=True, **common)
+        stepc = _compiled_wf_call(center_sample=center, gen=False, **common)
+        return gen, stepc, n_rays
+
+    calls = [calls_for(k, (ci == 0 and center_first))
+             for ci, k in enumerate(chunk_sizes)]
+
+    @jax.jit
+    def run(metas, cam, s_tab, p_tab):
+        aux = ((_block_bounds(s_tab, block),
+                _seed_table(s_tab, block)) if cull else ())
+        total = None
+        for ci, (k, (gen, stepc, n_rays)) in enumerate(
+                zip(chunk_sizes, calls)):
+            meta_g = metas[ci].at[4].set(n_rays)
+            state = gen(meta_g, cam, s_tab, p_tab, *aux)
+            for b in range(1, max_bounces):
+                if b in sort_schedule:
+                    state = _sort_state(state, cell_bits, sort_mode)
+                meta_b = metas[ci].at[3].set(b)
+                state = stepc(meta_b, cam, s_tab, p_tab, *aux, state)
+            # ---- assemble: back to (sample, pixel) order ----------------
+            ray_id = (state[14] * jnp.float32(n_pix) + state[13])
+            out = jax.lax.sort(
+                (ray_id, state[9], state[10], state[11]),
+                num_keys=1, is_stable=True)
+            chans = []
+            for c in range(3):
+                v = out[1 + c]
+                acc = v[0:n_pix]
+                for s in range(1, k):
+                    acc = acc + v[s * n_pix:(s + 1) * n_pix]
+                chans.append(acc)
+            chunk_img = jnp.stack(chans, axis=-1)  # (n_pix, 3)
+            total = chunk_img if total is None else total + chunk_img
+        img = total * jnp.float32(1.0 / spp)
+        if gamma:
+            img = jnp.sqrt(jnp.maximum(img, 0.0))
+        return img.reshape(height, width, 3)
+
+    return run, len(chunk_sizes)
+
+
+def render_forward_wavefront(
+    scene,
+    size: tuple[int, int],
+    seed: int = 0,
+    *,
+    personality: str = "mg",
+    spp: Optional[int] = None,
+    max_bounces: Optional[int] = None,
+    spp_chunk: int = 4,
+    gamma: bool = True,
+    rng_mode: str = "reference",
+    rng_impl: str = "hash",
+    center_sample: Optional[bool] = None,
+    interpret: bool = False,
+    block: Optional[int] = None,
+    cull: Optional[bool] = None,
+    order: Optional[str] = None,
+    sort_schedule: Optional[tuple] = None,
+    sort_mode: str = "variadic",
+    cell_bits: int = 2,
+    include_boxes: bool = False,
+    **_unused,
+) -> jax.Array:
+    """Render a full frame with the bounce-major wavefront pipeline.
+    (H, W, 3) f32.  Scene tables are runtime inputs (no recompiles on
+    geometry edits), same envelope as the blockwise kernel.
+
+    Hash RNG only: draws are keyed by (pixel, sample, bounce), so the ray
+    permutation between bounces does not change the estimator (the frame
+    matches ``render_forward_blockwise(rng_impl="hash")`` to ULP-level
+    float-association noise).
+    """
+    if rng_impl != "hash":
+        raise ValueError("wavefront kernel is hash-RNG only (reordering "
+                         "would change the hw-PRNG stream); pass "
+                         "rng_impl='hash'")
+    if not wavefront_supported(scene, include_boxes):
+        raise ValueError("scene exceeds the wavefront kernel limits")
+    w, h = size
+    if spp is None:
+        spp = scene.samples_per_pixel
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    spp_chunk = max(1, min(spp_chunk, spp))
+    if w * h * spp_chunk > (1 << 24):
+        # pixel/sample ids ride f32 state rows; keep them exact
+        spp_chunk = max(1, (1 << 24) // (w * h))
+    if w * h > (1 << 24):
+        raise ValueError("frame too large for exact f32 pixel ids")
+
+    s_cols, p_cols = _flatten_primitives(scene, personality)
+    s_pad = _bucket(scene.spheres.count)
+    p_pad = _bucket(scene.planes.count)
+    if block is None:
+        block = _BLOCK if max(s_pad, p_pad) <= 128 else 128
+    if cull is None:
+        # compaction + coherence sorting is precisely what gives the
+        # conservative block cull teeth; default it on whenever the
+        # grouped tables fit (even for mid-size scenes)
+        cull = s_pad >= 512 and s_pad // block <= 128
+    if order is None:
+        order = "morton" if (cull and scene.spheres.count > 1) else "index"
+    if sort_schedule is None:
+        # sort before every bounce after the first diffuse scatter;
+        # bounce 0 is pixel-ordered (coherent) by construction
+        sort_schedule = tuple(range(1, max_bounces))
+    gidx = None
+    if order == "morton":
+        perm = _morton_perm(s_cols)
+        s_cols = s_cols[:, perm]
+        gidx = perm
+    s_tab = jnp.asarray(_padded_table(s_cols, s_pad, gidx))
+    p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
+
+    run, n_chunks = _compiled_frame_wf(
+        width=w, height=h, s_pad=s_pad, p_pad=p_pad, spp=spp,
+        spp_chunk=spp_chunk, max_bounces=max_bounces, rng_mode=rng_mode,
+        gamma=gamma,
+        center_first=(True if center_sample is None else center_sample),
+        interpret=interpret, block=block, cull=cull,
+        cull_group=_auto_cull_group(s_pad, block),
+        sort_schedule=tuple(sort_schedule), sort_mode=sort_mode,
+        cell_bits=cell_bits,
+    )
+
+    cam = jnp.concatenate([
+        jnp.asarray(scene.camera.position, jnp.float32),
+        jnp.asarray(scene.camera.rotation, jnp.float32).reshape(-1),
+        jnp.asarray([
+            np.tan(scene.camera.vfov * 0.5), w / h, scene.camera.near, 0.0
+        ], jnp.float32),
+    ])
+    metas = _wf_meta_rows(scene, seed, n_chunks)
+    return run(metas, cam, s_tab, p_tab)
+
+
+def _wf_meta_rows(scene, seed: int, n_chunks: int) -> jnp.ndarray:
+    """(n_chunks, 8) int32 rows: [seed, n_spheres, n_planes, bounce_b,
+    n_rays, 0, 0, 0]; the per-chunk seed chain matches
+    pallas_blockwise._meta_rows so equal-chunking runs draw identical
+    hash streams."""
+    metas = []
+    chunk_seed = seed
+    for _ in range(n_chunks):
+        metas.append([chunk_seed, scene.spheres.count, scene.planes.count,
+                      0, 0, 0, 0, 0])
+        chunk_seed = int((chunk_seed * 1103515245 + 12345) % (2**31 - 1))
+    return jnp.asarray(metas, jnp.int32)

@@ -224,10 +224,11 @@ def main():
                      "(blockwise fwd+bwd)",
                      f"{960*540*2/t/1e6:.1f} Mrays/s ({t*1e3:.0f} ms/step)"))
     rows.append(("5: END-TO-END frame — 3840x2160 @256spp d8, 5000 spheres",
-                 "rendered once on device: 800.6 s wall (2.7 Mrays/s, "
-                 "0.02 G ray-bounces/s); preview at "
-                 "docs/config5_4k_preview.png (round-3 measurement — rerun "
-                 "with tools/tpu_worker job BA_4kframe to reproduce)"))
+                 "STATIC one-off measurement (not re-run by this script): "
+                 "rendered once on device round 3, 800.6 s wall (2.7 Mrays/s, "
+                 "0.02 G ray-bounces/s); preview committed at "
+                 "docs/config5_4k_preview.png — rerun with tools/tpu_worker "
+                 "job BA_4kframe to reproduce"))
 
     md = ["# BENCH_TABLE — measured on the attached TPU chip", "",
           "| Config | Result |", "|---|---|"]
