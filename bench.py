@@ -218,10 +218,28 @@ def main():
     from rt_tpu.profiling import sustained
 
     stats = sustained(lambda i: fwd_bwd(params, i)[1], iters=iters,
-                      windows=1 if args.quick else 5)
+                      windows=1 if args.quick else 9)
     secs = stats["median"]
     mrays = size[0] * size[1] * spp / secs / 1e6
     rate = lambda s: size[0] * size[1] * spp / s / 1e6
+
+    # Same-session forward-only reference row: the chip's absolute rate
+    # swings ±25% across sessions (memory: tpu-bench-variance), so the
+    # step/forward RATIO is the number that is comparable across rounds.
+    fwd_ref = ratio_step_over_fwd = None
+    if use_fused and not args.quick:
+        try:
+            from rt_tpu.ops.pallas_render import make_render_step
+
+            _fwd = make_render_step(scene, size, spp=spp,
+                                    max_bounces=max_bounces)
+            jax.block_until_ready(_fwd(0))
+            fstats = sustained(lambda i: _fwd(i), iters=iters, windows=9)
+            fwd_ref = rate(fstats["median"])
+            # step time / forward time (~1.5 in round 3; lower is better)
+            ratio_step_over_fwd = secs / fstats["median"]
+        except Exception:
+            pass
 
     # gradient sanity: finite + a smooth-path FD check on reflectivity.
     # When the fused Pallas kernel produced the benched gradients, the FD
@@ -257,7 +275,7 @@ def main():
     baseline_mrays = measure_cpu_baseline(scene, size, spp, max_bounces)
     vs_baseline = mrays / baseline_mrays if baseline_mrays > 0 else 0.0
 
-    print(json.dumps({
+    row = {
         "metric": "fwd+bwd Mrays/s/chip (basic.toml %dx%d @ %dspp, depth %d, grad_ok=%s)"
                   % (size[0], size[1], spp, max_bounces, grad_ok),
         "value": round(mrays, 3),
@@ -265,7 +283,13 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         # dispersion across the measured windows (median is the headline)
         "spread": [round(rate(stats["max"]), 1), round(rate(stats["min"]), 1)],
-    }))
+    }
+    if fwd_ref is not None:
+        # same-session forward-only rate + step/forward time ratio — the
+        # session-invariant number (absolutes swing ±25% between sessions)
+        row["fwd_ref"] = round(fwd_ref, 1)
+        row["ratio_step_over_fwd"] = round(ratio_step_over_fwd, 3)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -237,7 +237,15 @@ static inline bool closest_hit(const SceneArrays& sc, V3 o, V3 d, Hit& h) {
     return true;
 }
 
-static V3 trace(const SceneArrays& sc, V3 o, V3 d, int max_bounces, Rng& rng) {
+// personality 0 = mg (metal + lambert-for-everything-else,
+// mg_ray_tracer.cpp:142-152); personality 1 = sm (adds the dielectric
+// family: dielectric/air/vacuum/water/ice -> dielectric_scatter, diamond
+// stays lambert, sm_ray_tracer.cpp:221-236).  The dielectric math mirrors
+// the rt_tpu kernel's documented estimator (sm_ray_tracer.cpp:181-219
+// semantics with normalized scatter directions) so TPU-vs-CPU ratios
+// compare matched estimators.
+static V3 trace(const SceneArrays& sc, V3 o, V3 d, int max_bounces, Rng& rng,
+                int personality) {
     V3 thr = v3(1, 1, 1);
     for (int b = 0; b < max_bounces; ++b) {
         Hit h;
@@ -251,12 +259,39 @@ static V3 trace(const SceneArrays& sc, V3 o, V3 d, int max_bounces, Rng& rng) {
                     sc.mat_albedo[h.mat * 4 + 2]);
         V3 att = alb * refl;
         V3 nd;
-        if (sc.mat_type[h.mat] == 1) {  // metal
+        int ty = sc.mat_type[h.mat];
+        bool die = personality == 1 && (ty >= 2 && ty <= 6);
+        if (die) {  // dielectric family (sm_ray_tracer.cpp:181-219)
+            float dd = dot(d, h.n);
+            bool inside = dd > 0.f;
+            V3 on = inside ? h.n * -1.f : h.n;
+            float ior = refl;  // reflectivity field carries the IOR
+            float eta = inside ? ior : 1.f / ior;
+            float cosine = inside ? ior * dd : -dd;
+            float cos_i = -dot(d, on);
+            float sin2 = eta * eta * (1.f - cos_i * cos_i);
+            V3 r = d - h.n * (2.f * dd);  // geometric-normal reflect
+            float prob;
+            if (sin2 > 1.f) {
+                prob = 1.f;  // total internal reflection
+            } else {
+                float r0 = (1.f - ior) / (1.f + ior);
+                r0 *= r0;
+                float omc = 1.f - cosine;
+                prob = r0 + (1.f - r0) * omc * omc * omc * omc * omc;
+            }
+            if (rng.uf() < prob) {
+                nd = norm3(r);
+            } else {
+                float cos_t = std::sqrt(sin2 < 1.f ? 1.f - sin2 : 0.f);
+                nd = norm3(d * eta + on * (eta * cos_i - cos_t));
+            }
+        } else if (ty == 1) {  // metal
             V3 r = d - h.n * (2.f * dot(d, h.n));
             nd = r + rng.unit() * sc.mat_rough[h.mat];
             if (dot(nd, h.n) <= 0.f) return v3(0, 0, 0);  // absorbed
             nd = norm3(nd);
-        } else {  // lambert (mg maps everything else to lambert)
+        } else {  // lambert (everything else defaults to lambert)
             nd = h.n + rng.unit();
             float n2 = dot(nd, nd);
             nd = n2 < 1e-16f ? h.n : nd * (1.f / std::sqrt(n2));
@@ -270,13 +305,15 @@ static V3 trace(const SceneArrays& sc, V3 o, V3 d, int max_bounces, Rng& rng) {
 
 // Render W x H @ spp with the camera given as position + rotation columns.
 // out: (H*W*3) floats (post sqrt-gamma).  Returns seconds elapsed.
-extern "C" double rtn_render_mg(const float* cam_pos, const float* cam_rot,  // (3,), (3,3) row-major
+// personality: 0 = mg, 1 = sm (dielectrics).
+extern "C" double rtn_render(const float* cam_pos, const float* cam_rot,  // (3,), (3,3) row-major
                      float vfov, float near_clip,
                      int w, int h, int spp, int max_bounces, uint64_t seed,
                      const float* sph_c, const float* sph_r, const int32_t* sph_m, int n_spheres,
                      const float* pl_n, const float* pl_d, const int32_t* pl_m, int n_planes,
                      const int32_t* mat_type, const float* mat_albedo,
                      const float* mat_rough, const float* mat_refl,
+                     int personality,
                      float* out) {
     SceneArrays sc{sph_c, sph_r, sph_m, n_spheres, pl_n, pl_d, pl_m, n_planes,
                    mat_type, mat_albedo, mat_rough, mat_refl};
@@ -309,7 +346,7 @@ extern "C" double rtn_render_mg(const float* cam_pos, const float* cam_rot,  // 
                                    cam_rot[6] * dv.x + cam_rot[7] * dv.y + cam_rot[8] * dv.z);
                         V3 o = pos + dw * near_clip;
                         V3 d = norm3(dw);
-                        acc = acc + trace(sc, o, d, max_bounces, rng);
+                        acc = acc + trace(sc, o, d, max_bounces, rng, personality);
                     }
                     acc = acc * (1.f / spp);
                     size_t idx = ((size_t)y * w + x) * 3;
@@ -323,5 +360,20 @@ extern "C" double rtn_render_mg(const float* cam_pos, const float* cam_rot,  // 
     for (auto& t : pool) t.join();
     auto t1 = std::chrono::steady_clock::now();
     return std::chrono::duration<double>(t1 - t0).count();
+}
+
+// Backwards-compatible mg-only entry point.
+extern "C" double rtn_render_mg(const float* cam_pos, const float* cam_rot,
+                     float vfov, float near_clip,
+                     int w, int h, int spp, int max_bounces, uint64_t seed,
+                     const float* sph_c, const float* sph_r, const int32_t* sph_m, int n_spheres,
+                     const float* pl_n, const float* pl_d, const int32_t* pl_m, int n_planes,
+                     const int32_t* mat_type, const float* mat_albedo,
+                     const float* mat_rough, const float* mat_refl,
+                     float* out) {
+    return rtn_render(cam_pos, cam_rot, vfov, near_clip, w, h, spp,
+                      max_bounces, seed, sph_c, sph_r, sph_m, n_spheres,
+                      pl_n, pl_d, pl_m, n_planes, mat_type, mat_albedo,
+                      mat_rough, mat_refl, 0, out);
 }
 

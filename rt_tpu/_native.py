@@ -45,14 +45,15 @@ def _load():
                 ]
                 f32p = ctypes.POINTER(ctypes.c_float)
                 i32p = ctypes.POINTER(ctypes.c_int32)
-                lib.rtn_render_mg.restype = ctypes.c_double
-                lib.rtn_render_mg.argtypes = [
+                lib.rtn_render.restype = ctypes.c_double
+                lib.rtn_render.argtypes = [
                     f32p, f32p, ctypes.c_float, ctypes.c_float,
                     ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     ctypes.c_uint64,
                     f32p, f32p, i32p, ctypes.c_int,
                     f32p, f32p, i32p, ctypes.c_int,
                     i32p, f32p, f32p, f32p,
+                    ctypes.c_int,
                     f32p,
                 ]
                 _LIB = lib
@@ -79,8 +80,17 @@ def write_png(path: str, rgba: np.ndarray, w: int, h: int) -> None:
 
 
 def render_mg_cpu(scene, size, *, spp: int, max_bounces: int, seed: int = 0):
-    """Render with the native multithreaded CPU baseline tracer
-    (mg personality).  Returns ((H, W, 3) float32 image, seconds)."""
+    """Render with the native CPU baseline tracer, mg personality."""
+    return render_cpu(scene, size, spp=spp, max_bounces=max_bounces,
+                      seed=seed, personality="mg")
+
+
+def render_cpu(scene, size, *, spp: int, max_bounces: int, seed: int = 0,
+               personality: str = "mg"):
+    """Render with the native multithreaded CPU baseline tracer.
+    ``personality``: "mg" (metal+lambert, mg_ray_tracer.cpp:142-152) or
+    "sm" (adds the dielectric family, sm_ray_tracer.cpp:221-236).
+    Returns ((H, W, 3) float32 image, seconds)."""
     import ctypes as ct
 
     lib = _load()
@@ -107,13 +117,14 @@ def render_mg_cpu(scene, size, *, spp: int, max_bounces: int, seed: int = 0):
     def p(a, t):
         return a.ctypes.data_as(ct.POINTER(t))
 
-    secs = lib.rtn_render_mg(
+    secs = lib.rtn_render(
         p(cam_pos, ct.c_float), p(cam_rot, ct.c_float),
         ct.c_float(scene.camera.vfov), ct.c_float(scene.camera.near),
         w, h, spp, max_bounces, seed,
         p(sph_c, ct.c_float), p(sph_r, ct.c_float), p(sph_m, ct.c_int32), sc,
         p(pl_n, ct.c_float), p(pl_d, ct.c_float), p(pl_m, ct.c_int32), pc,
         p(mt, ct.c_int32), p(ma, ct.c_float), p(mr, ct.c_float), p(mf, ct.c_float),
+        {"mg": 0, "sm": 1}[personality],
         p(out, ct.c_float),
     )
     return out, float(secs)

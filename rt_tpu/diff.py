@@ -47,8 +47,14 @@ _PARAM_FIELDS = (
 
 
 def extract_params(scene) -> dict[str, jax.Array]:
-    """Pull the differentiable parameter pytree out of a scene."""
-    return {f"{a}.{b}": getattr(getattr(scene, a), b) for a, b in _PARAM_FIELDS}
+    """Pull the differentiable parameter pytree out of a scene.  Scenes
+    using the ``--boxes`` extension additionally expose boxes.center /
+    boxes.extents (box-free scenes keep the historical key set, so
+    checkpoints and optimizer trees are unchanged for them)."""
+    fields = _PARAM_FIELDS
+    if scene.boxes.count > 0:
+        fields = fields + (("boxes", "center"), ("boxes", "extents"))
+    return {f"{a}.{b}": getattr(getattr(scene, a), b) for a, b in fields}
 
 
 def apply_params(scene, params: dict[str, jax.Array]):
@@ -117,9 +123,12 @@ def pallas_loss_and_grad(
     rng_mode: str = "reference",
     rng_impl: str = "hw",
     interpret: bool = False,
+    include_boxes: bool = False,
 ):
     """(loss, grads) with the Pallas megakernel as the forward/record pass
-    and the jnp replay as the differentiable pass.
+    and the jnp replay as the differentiable pass.  ``include_boxes``
+    extends both passes to the --boxes extension (kind=3 records +
+    smooth slab replay; boxes.center/extents gradients flow).
 
     The megakernel bakes primitive/material values as compile-time
     constants, so the record pass runs at the *concrete* ``params`` (applied
@@ -138,14 +147,22 @@ def pallas_loss_and_grad(
     concrete = apply_params(scene, jax.tree_util.tree_map(
         lambda x: jnp.asarray(x), params))
     s_cols, p_cols = _flatten_primitives(concrete, personality)
-    _note_records_scene(_scene_static_key(scene),
-                        (s_cols.tobytes(), p_cols.tobytes()))
+    key_bytes = (s_cols.tobytes(), p_cols.tobytes())
+    key_shapes = (s_cols.shape, p_cols.shape)
+    use_boxes = include_boxes and scene.boxes.count > 0
+    if use_boxes:
+        from .ops.pallas_render import _flatten_boxes
+
+        bx = _flatten_boxes(concrete, personality)
+        key_bytes += (bx.tobytes(),)
+        key_shapes += (bx.shape,)
+    _note_records_scene(_scene_static_key(scene), key_bytes)
     run = _records_pipeline(
-        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
+        key_bytes, key_shapes,
         _scene_static_key(scene),
         width=w, height=h, spp=spp, max_bounces=max_bounces,
         personality=personality, rng_mode=rng_mode,
-        rng_impl=rng_impl, interpret=interpret,
+        rng_impl=rng_impl, interpret=interpret, include_boxes=use_boxes,
     )
     seeds = jnp.asarray([seed * 100003 + s for s in range(spp)], jnp.int32)
     return run(params, scene, jnp.asarray(target), seeds)
@@ -187,7 +204,7 @@ def _scene_static_key(scene):
 @functools.lru_cache(maxsize=8)
 def _records_pipeline(scene_bytes, shapes, static_key, *, width, height, spp,
                       max_bounces, personality, rng_mode,
-                      rng_impl="hw", interpret=False):
+                      rng_impl="hw", interpret=False, include_boxes=False):
     """Jitted end-to-end records pipeline: record kernels (baked constants) +
     differentiable replay + MSE value_and_grad in ONE dispatch."""
     import jax.numpy as jnp
@@ -205,7 +222,8 @@ def _records_pipeline(scene_bytes, shapes, static_key, *, width, height, spp,
         _compiled_record(scene_bytes, shapes, width=w, height=h,
                          max_bounces=max_bounces, rows=rows,
                          rng_mode=rng_mode, center_sample=(s == 0),
-                         rng_impl=rng_impl, interpret=interpret)
+                         rng_impl=rng_impl, interpret=interpret,
+                         include_boxes=include_boxes)
         for s in range(min(spp, 2))
     ]
     grid = _pixel_grid((w, h))
@@ -251,6 +269,7 @@ def _records_pipeline(scene_bytes, shapes, static_key, *, width, height, spp,
                     sc, o, d, None, pr,
                     personality=personality, max_bounces=max_bounces,
                     draws=(rec["ur"], rec["coin"]),
+                    include_boxes=include_boxes,
                 )
             img = (acc / spp).reshape(h, w, 3)
             return jnp.mean((img - target) ** 2)

@@ -1948,7 +1948,20 @@ def pallas_mse_loss_and_grad(
         ], jnp.float32),
     ])
     loss, grads = run(cam, jnp.int32(seed), target_dev)
-    return loss, grads
+    return loss, _pad_missing_grads(grads, params)
+
+
+def _pad_missing_grads(grads, params):
+    """Zero-fill grads for param keys the kernel doesn't cover (the
+    --boxes extension adds boxes.center/extents to extract_params; under
+    tracer semantics boxes never hit, mg_ray_tracer.cpp:89-93, so their
+    gradient is exactly zero) — keeps the grads tree congruent with the
+    params tree for optax."""
+    out = dict(grads)
+    for k, v in params.items():
+        if k not in out:
+            out[k] = jnp.zeros_like(jnp.asarray(v))
+    return out
 
 
 def make_mse_step(
@@ -2046,7 +2059,8 @@ def make_mse_step(
     ])
 
     def step(seed: int):
-        return run(cam, jnp.int32(seed), target_dev)
+        loss, grads = run(cam, jnp.int32(seed), target_dev)
+        return loss, _pad_missing_grads(grads, params)
 
     return step
 

@@ -192,7 +192,6 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
     # on primitive count; record mode must stay dense (its residual refs
     # are written every bounce).
     n_boxes = b_cols.shape[1] if (include_boxes and b_cols is not None) else 0
-    assert not (record and n_boxes), "record mode has no box support (replay)"
     early_out = (s_cols.shape[1] + p_cols.shape[1] + n_boxes) >= 64 \
         and not record
     # class-presence specialization: when the baked scene has no metal /
@@ -407,6 +406,8 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                         bcl = jnp.where(ok, float(b_cols[11, bi]), bcl)
                         bpl = jnp.where(ok, f32(0.0), bpl)
                         bbxf = jnp.where(ok, f32(1.0), bbxf)
+                        if record:
+                            b_idx = jnp.where(ok, f32(bi), b_idx)
 
                     hit = best_t < f32(1e37)
 
@@ -529,8 +530,10 @@ def _make_kernel(s_cols, p_cols, *, width, height, spp_unroll,
                     tb = tb * (naf + af * bab * brf)
 
                     if record:
-                        kind_ref[0, b] = jnp.where(
-                            hit, jnp.where(ispl, f32(2.0), f32(1.0)), f32(0.0))
+                        kindv = jnp.where(ispl, f32(2.0), f32(1.0))
+                        if n_boxes:
+                            kindv = jnp.where(bbxf > 0.0, f32(3.0), kindv)
+                        kind_ref[0, b] = jnp.where(hit, kindv, f32(0.0))
                         idx_ref[0, b] = b_idx
                         bits_ref[0, b] = (
                             b_root
@@ -657,13 +660,17 @@ def _compiled(scene_bytes, shapes, *, width, height, spp_unroll,
 @functools.lru_cache(maxsize=64)
 def _compiled_record(scene_bytes, shapes, *, width, height, max_bounces,
                      rows, rng_mode, center_sample,
-                     rng_impl="hw", interpret=False):
+                     rng_impl="hw", interpret=False, include_boxes=False):
     s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
     p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
+    b_cols = None
+    if len(scene_bytes) > 2:
+        b_cols = np.frombuffer(scene_bytes[2], np.float32).reshape(shapes[2])
     kernel = _make_kernel(
         s_cols, p_cols, width=width, height=height, spp_unroll=1,
         max_bounces=max_bounces, rows=rows, rng_mode=rng_mode,
         center_sample=center_sample, record=True, rng_impl=rng_impl,
+        b_cols=b_cols, include_boxes=include_boxes,
     )
     n = width * height
     n_tiles = -(-n // (rows * 128))
@@ -704,22 +711,31 @@ def render_record_pallas(
     center_sample: bool = True,
     rng_impl: str = "hw",
     interpret: bool = False,
+    include_boxes: bool = False,
 ):
     """One sample per pixel through the megakernel, emitting the replay
-    residuals.  Returns (radiance_sum, records_dict); every array is laid
-    out (n_tiles, CH, rows, 128) — use :func:`records_to_flat` to get the
+    residuals (kind=3 + box index for --boxes scenes).  Returns
+    (radiance_sum, records_dict); every array is laid out
+    (n_tiles, CH, rows, 128) — use :func:`records_to_flat` to get the
     (B, N) layout rt_tpu.replay consumes."""
-    if not pallas_supported(scene):
+    if not pallas_supported(scene, include_boxes):
         raise ValueError("scene exceeds the unrolled megakernel limits")
     w, h = size
     if max_bounces is None:
         max_bounces = scene.max_bounces
     s_cols, p_cols = _flatten_primitives(scene, personality)
+    key_bytes = (s_cols.tobytes(), p_cols.tobytes())
+    key_shapes = (s_cols.shape, p_cols.shape)
+    if include_boxes and scene.boxes.count > 0:
+        bx = _flatten_boxes(scene, personality)
+        key_bytes += (bx.tobytes(),)
+        key_shapes += (bx.shape,)
     fn = _compiled_record(
-        (s_cols.tobytes(), p_cols.tobytes()), (s_cols.shape, p_cols.shape),
+        key_bytes, key_shapes,
         width=w, height=h, max_bounces=max_bounces, rows=rows,
         rng_mode=rng_mode, center_sample=center_sample,
         rng_impl=rng_impl, interpret=interpret,
+        include_boxes=include_boxes and scene.boxes.count > 0,
     )
     cam = jnp.concatenate([
         jnp.asarray(scene.camera.position, jnp.float32),

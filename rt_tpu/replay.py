@@ -43,7 +43,7 @@ _BIG = jnp.float32(3.0e38)
 class PathRecords(NamedTuple):
     """Stacked (max_bounces, N) discrete path structure."""
 
-    kind: jax.Array      # int32: 0 miss, 1 sphere, 2 plane
+    kind: jax.Array      # int32: 0 miss, 1 sphere, 2 plane, 3 box (--boxes)
     idx: jax.Array       # int32 winner index within class
     root_lo: jax.Array   # bool: sphere near-root used
     live_in: jax.Array   # bool: ray alive at bounce entry
@@ -63,6 +63,7 @@ def trace_batch_recorded(
     max_bounces: Optional[int] = None,
     rng_mode: str = "reference",
     hit_fn=None,
+    include_boxes: bool = False,
 ):
     """Forward trace emitting (radiance, PathRecords).  Mirrors
     rt_tpu.integrator.trace_batch exactly (same RNG folds, same update
@@ -71,14 +72,17 @@ def trace_batch_recorded(
     ``hit_fn`` overrides the closest-hit like trace_batch's — with
     rt_tpu.dist.sharded_hit_fn the recorded sphere winner index is the
     GLOBAL index (shard offset already added), which is what the sharded
-    replay consumes."""
+    replay consumes.  ``include_boxes`` enables the ``--boxes`` extension
+    (records carry kind=3 + box index; tracer default keeps the
+    reference's never-hitting box stub, mg_ray_tracer.cpp:89-93)."""
     if max_bounces is None:
         max_bounces = scene.max_bounces
     classes = personality_classes(personality)
     n = origins.shape[0]
     if hit_fn is None:
         def hit_fn(o, d):
-            return closest_hit(scene.spheres, scene.planes, scene.boxes, o, d)
+            return closest_hit(scene.spheres, scene.planes, scene.boxes, o, d,
+                               include_boxes=include_boxes)
 
     def body(state, b):
         o, d, thr, rad, live = state
@@ -131,6 +135,7 @@ def replay_radiance(
     rng_mode: str = "reference",
     draws=None,
     prims_axis: Optional[str] = None,
+    include_boxes: bool = False,
 ) -> jax.Array:
     """Differentiable radiance with the discrete path structure pinned to
     ``records``.  O(1) work per ray per bounce (plus one-hot contractions
@@ -155,6 +160,10 @@ def replay_radiance(
     n = origins.shape[0]
     S = scene.spheres.center.shape[0]
     P = scene.planes.normal.shape[0]
+    # kind=3 records only exist when the forward ran with --boxes; the box
+    # branch compiles away entirely for box-free traces
+    NB = scene.boxes.center.shape[0] if (
+        include_boxes and scene.boxes.count > 0) else 0
 
     def body(state, inp):
         o, d, thr, rad = state
@@ -204,8 +213,38 @@ def replay_radiance(
         t_p = -(jnp.sum(pn * o, axis=-1) + pd) / safe_dd
 
         t = jnp.where(is_sphere, t_s, jnp.where(is_plane, t_p, 0.0))
+        if NB:
+            # --boxes extension: smooth slab t for the recorded box.  The
+            # slab max/min pick the hit face, and jnp.max's subgradient
+            # flows through exactly that face's plane — the face CHOICE is
+            # the detached discrete decision, its t is smooth in
+            # (center, extents).  The face normal is piecewise constant in
+            # the parameters, so the detached recompute is exact a.e.
+            is_box = r.kind == 3
+            bid = jnp.where(is_box, r.idx, 0)
+            b_onehot = jax.nn.one_hot(bid, NB, dtype=jnp.float32)
+            b_onehot = b_onehot * is_box[:, None]
+            bc = jnp.matmul(b_onehot, scene.boxes.center,
+                            precision="highest")             # (N, 3)
+            be = jnp.matmul(b_onehot, scene.boxes.extents,
+                            precision="highest")             # (N, 3)
+            inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1e-12)
+            ta = (bc - be - o) * inv
+            tb2 = (bc + be - o) * inv
+            tmn = jnp.max(jnp.minimum(ta, tb2), axis=-1)
+            tmx = jnp.min(jnp.maximum(ta, tb2), axis=-1)
+            use_min = jax.lax.stop_gradient(tmn) >= MIN_HIT_DIST
+            t_b = jnp.where(use_min, tmn, tmx)
+            t = jnp.where(is_box, t_b, t)
         hit_p = o + t[:, None] * d
         normal = jnp.where(is_sphere[:, None], safe_normalize(hit_p - c), pn)
+        if NB:
+            eb = jnp.maximum(jax.lax.stop_gradient(be), 1e-12)
+            local = (jax.lax.stop_gradient(hit_p - bc)) / eb
+            ax = jnp.argmax(jnp.abs(local), axis=-1)
+            bn = jax.nn.one_hot(ax, 3, dtype=local.dtype) * jnp.sign(
+                jnp.take_along_axis(local, ax[:, None], axis=-1))
+            normal = jnp.where(is_box[:, None], bn, normal)
 
         # material id: integer gathers (no tangents); indices clamped to the
         # owning table to keep out-of-class lanes in bounds
@@ -217,6 +256,9 @@ def replay_radiance(
                 jnp.where(s_sel, scene.spheres.material[sid], 0), prims_axis)
         mat = jnp.where(is_sphere, s_mat,
                         scene.planes.material[p_idx]).astype(jnp.int32)
+        if NB:
+            mat = jnp.where(is_box, scene.boxes.material[bid], mat)
+            mat = mat.astype(jnp.int32)
 
         # --- sky contribution (recorded miss mask) ------------------------
         from .integrator import sky_colour
@@ -265,6 +307,7 @@ def trace_batch_replay(
     rng_mode: str = "reference",
     hit_fn=None,
     prims_axis: Optional[str] = None,
+    include_boxes: bool = False,
     **_unused,
 ) -> jax.Array:
     """trace_batch with replay-mode gradients: same value, detached-sampling
@@ -277,11 +320,11 @@ def trace_batch_replay(
         trace_batch_recorded(
             scene, origins, dirs, key,
             personality=personality, max_bounces=max_bounces,
-            rng_mode=rng_mode, hit_fn=hit_fn,
+            rng_mode=rng_mode, hit_fn=hit_fn, include_boxes=include_boxes,
         )
     )
     return replay_radiance(
         scene, origins, dirs, key, records,
         personality=personality, max_bounces=max_bounces, rng_mode=rng_mode,
-        prims_axis=prims_axis,
+        prims_axis=prims_axis, include_boxes=include_boxes,
     )

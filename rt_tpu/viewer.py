@@ -271,17 +271,28 @@ def interactive(
     # help here — a viewer must block on every frame to draw it, and a
     # single blocked call pays the host round trip whether or not the
     # inputs were pre-staged (65 -> 71 ms/frame on the remote-TPU tunnel,
-    # i.e. slightly worse).  The prebuilt-step win is real only for
-    # async-pipelined loops (bench/serving); the per-call renderer is the
-    # right shape for an interactive blocked loop.
-    def draw(low_res: bool):
+    # i.e. slightly worse).  What DOES help is the reference's
+    # dirty/present split (window.cpp:213-224) applied as double
+    # buffering: `kick()` DISPATCHES frame N without blocking (JAX
+    # dispatch is async), and while the device renders it, `present()`
+    # materializes + ANSI-draws frame N-1 — the ~25-50 ms tunnel round
+    # trip overlaps the terminal I/O instead of serializing after it.
+    # Measured on the remote tunnel (tools job CI_viewerpipe, 320x240
+    # mg_pallas frames + a 15 ms draw): blocked loop 81.8 ms/frame,
+    # pipelined 67.9 ms/frame -> 1.20x cadence; the win grows with
+    # terminal size (draw cost) and vanishes for instant draws.
+    def kick(low_res: bool):
+        """Dispatch a frame render; returns the un-materialized device
+        array (np.asarray in present() is what blocks)."""
         if low_res:
             small = (max(int(size[0] * low_res_scale), 16),
                      max(int(size[1] * low_res_scale), 9))
-            img = np.asarray(raster(scene, small, key))
-        else:
-            opts = {} if spp is None else {"spp": spp}
-            img = np.asarray(render(scene, size, key, **opts))
+            return raster(scene, small, key)
+        opts = {} if spp is None else {"spp": spp}
+        return render(scene, size, key, **opts)
+
+    def present(dev_img):
+        img = np.asarray(dev_img)
         sys.stdout.write("\x1b[H\x1b[2J")
         print_preview(img, max_width=size[0] // 2)
         update_title()
@@ -295,6 +306,8 @@ def interactive(
                   f"fwd=({fwd[0]:.4f},{fwd[1]:.4f},{fwd[2]:.4f})")
         if reload_prompt:
             print("scene file has changed on disk — reload? [y/n]")
+
+    pending = None  # in-flight device frame (double buffer)
 
     with _RawTerm(mouse=True) as term:
         while True:
@@ -330,12 +343,22 @@ def interactive(
                     dirty = True
             if dirty:
                 low = (now - last_move) < 0.5 and last_move > 0
-                draw(low)
+                nxt = kick(low)
+                if pending is not None:
+                    present(pending)   # draw N-1 while N renders on device
+                pending = nxt
                 full_quality_pending = low
                 dirty = False
             elif full_quality_pending and (now - last_move) >= 0.5:
-                draw(False)
+                nxt = kick(False)
+                if pending is not None:
+                    present(pending)
+                pending = nxt
                 full_quality_pending = False
+            elif pending is not None:
+                # nothing newer queued: show the in-flight frame
+                present(pending)
+                pending = None
 
             # scene hot-reload poll (main.cpp:235-249)
             if scene.path and now - last_mtime_check > 0.5:

@@ -192,3 +192,76 @@ def test_pallas_fused_grad_matches_replay_on_degenerate():
     for k in grads:
         np.testing.assert_allclose(np.asarray(grads[k]), np.asarray(g2[k]),
                                    rtol=1e-3, atol=1e-6, err_msg=k)
+
+
+def test_blockwise_forward_degenerate_finite_and_cull_exact():
+    """The blockwise kernels see the same adversarial geometry the unrolled
+    kernels survive (round-3 VERDICT item 6): r=0 spheres, exact duplicates
+    and tangent rays through the lean scan, AND through the conservative
+    cull whose bounds must stay exact on degenerate blocks (zero-radius
+    members, duplicate centres)."""
+    from rt_tpu.ops.pallas_blockwise import render_forward_blockwise
+
+    s = _deg_scene()
+    kw = dict(spp=2, max_bounces=6, seed=9, rng_impl="hash", interpret=True)
+    plain = np.asarray(render_forward_blockwise(s, (32, 24), cull=False,
+                                                **kw))
+    assert np.all(np.isfinite(plain))
+    # forced cull + Morton order on the degenerate table: bit-exact argmin
+    culled = np.asarray(render_forward_blockwise(
+        s, (32, 24), cull=True, order="morton", block=8, **kw))
+    np.testing.assert_array_equal(plain, culled)
+    # deterministic centre-sample primary structure matches jnp at 1 bounce
+    a = np.asarray(rt_tpu.integrator.render_image(
+        s, (32, 24), rt_tpu.rng.make_key(0), spp=1, max_bounces=1,
+        gamma=False))
+    b = np.asarray(render_forward_blockwise(
+        s, (32, 24), seed=0, spp=1, max_bounces=1, center_sample=True,
+        rng_impl="hash", interpret=True, gamma=False))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_blockwise_grad_degenerate_finite_and_fd():
+    """The blockwise fused fwd+bwd kernel on the degenerate scene: finite
+    loss/gradients, and the smooth-path reflectivity gradient still matches
+    the pipeline's own finite differences (guarded adjoints don't just stay
+    finite — they stay correct)."""
+    from rt_tpu.ops.pallas_blockwise_grad import bw_mse_loss_and_grad
+
+    s = _deg_scene()
+    params = diff.extract_params(s)
+    target = jnp.zeros((24, 32, 3), jnp.float32)
+    kw = dict(spp=2, max_bounces=4, rng_impl="hash", interpret=True)
+    loss, grads = bw_mse_loss_and_grad(params, s, target, (32, 24), seed=7,
+                                       **kw)
+    assert np.isfinite(float(loss))
+    for k, g in grads.items():
+        assert np.all(np.isfinite(np.asarray(g))), k
+    name = "materials.reflectivity"
+    eps = 1e-3
+    hi = dict(params)
+    hi[name] = params[name].at[1].set(params[name][1] + eps)
+    lo = dict(params)
+    lo[name] = params[name].at[1].set(params[name][1] - eps)
+    lh, _ = bw_mse_loss_and_grad(hi, s, target, (32, 24), seed=7, **kw)
+    ll, _ = bw_mse_loss_and_grad(lo, s, target, (32, 24), seed=7, **kw)
+    fd = (float(lh) - float(ll)) / (2 * eps)
+    an = float(grads[name][1])
+    assert abs(an - fd) <= max(0.05 * abs(fd), 1e-5), (an, fd)
+
+
+def test_wavefront_degenerate_matches_blockwise():
+    """The bounce-major wavefront pipeline (compaction + sorting) on the
+    degenerate scene tracks the pixel-major kernel — the sort must not
+    corrupt rays whose guarded expressions sit exactly on the clamps."""
+    from rt_tpu.ops.pallas_blockwise import render_forward_blockwise
+    from rt_tpu.ops.pallas_wavefront import render_forward_wavefront
+
+    s = _deg_scene()
+    kw = dict(spp=2, max_bounces=6, seed=9, interpret=True)
+    a = np.asarray(render_forward_blockwise(s, (32, 24), rng_impl="hash",
+                                            **kw))
+    b = np.asarray(render_forward_wavefront(s, (32, 24), cull=True,
+                                            order="morton", block=8, **kw))
+    assert np.all(np.isfinite(b))
+    np.testing.assert_allclose(a, b, atol=2e-5)

@@ -463,3 +463,58 @@ def test_hand_reverse_matches_vjp_dielectric():
     for k in g0:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
                                    rtol=5e-4, atol=1e-7, err_msg=k)
+
+
+def test_interpret_record_replay_roundtrip_boxes():
+    """--boxes extension through the record kernel (round-3 VERDICT item 9):
+    kind=3 records + the smooth slab replay reproduce the kernel's own
+    radiance on a box scene, and pallas_loss_and_grad delivers finite
+    box-geometry gradients matching the jnp replay pipeline."""
+    from rt_tpu import diff
+    from rt_tpu.camera import generate_rays
+    from rt_tpu.integrator import _pixel_grid
+    from rt_tpu.ops.pallas_render import records_to_flat, render_record_pallas
+    from rt_tpu.replay import PathRecords, replay_radiance
+
+    s = rt_tpu.loads(
+        """
+materials = [ { type = 'lambert', albedo = 'gray' },
+              { type = 'metal', albedo = 'white', roughness = 0.1 },
+              { type = 'lambert', albedo = 'red' } ]
+spheres = [ { material = 0, position = [0,-1000,0], radius = 1000 } ]
+boxes = [ { material = 2, position = [0, 0.5, -3], extents = [0.5, 0.5, 0.5] },
+          { material = 1, position = [1.6, 0.4, -3.5], extents = [0.4, 0.4, 0.4] } ]
+"""
+    )
+    w, h, B = 32, 24, 3
+    n = w * h
+    rad, recs = render_record_pallas(
+        s, (w, h), seed=3, max_bounces=B, rows=8, rng_impl="hash",
+        interpret=True, center_sample=False, include_boxes=True)
+    flat = records_to_flat(recs, n, B)
+    assert (flat["kind"] == 3).any(), "box winners must be recorded"
+    kernel_img = np.asarray(rad).transpose(0, 2, 3, 1).reshape(-1, 3)[:n]
+
+    grid = _pixel_grid((w, h))
+    o, d = generate_rays(s.camera, (w, h), grid + flat["jitter"])
+    pr = PathRecords(
+        kind=flat["kind"], idx=flat["idx"], root_lo=flat["root_lo"],
+        live_in=flat["live_in"], miss=flat["miss"],
+        alive_out=flat["alive_out"], reflect_bit=flat["reflect_bit"],
+        lam_deg=flat["lam_deg"],
+    )
+    replayed = np.asarray(replay_radiance(
+        s, o, d, None, pr, personality="mg", max_bounces=B,
+        draws=(flat["ur"], flat["coin"]), include_boxes=True))
+    np.testing.assert_allclose(kernel_img, replayed, atol=1e-4)
+
+    # end-to-end: the records grad pipeline on a box scene
+    params = diff.extract_params(s)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    loss, grads = diff.pallas_loss_and_grad(
+        params, s, target, (w, h), seed=1, spp=2, max_bounces=B,
+        rng_impl="hash", interpret=True, include_boxes=True)
+    assert np.isfinite(float(loss))
+    for k, g in grads.items():
+        assert np.all(np.isfinite(np.asarray(g))), k
+    assert np.abs(np.asarray(grads["boxes.center"])).max() > 0
