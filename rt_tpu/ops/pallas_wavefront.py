@@ -107,15 +107,25 @@ def _hash_u01_dyn(pix, seed, ctr, shape):
 
 
 def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
-                    center_sample, gen, block, cull, cull_group):
+                    center_sample, gen, block, cull, cull_group, wf_rows):
     """Wavefront kernel body.
 
     ``gen=True``: raygen + bounce 0.  No state input; pixel/sample ids
     derive from the grid position (rays start in pixel order — already
     coherent, no sort needed before bounce 0).  ``gen=False``: one bounce
-    ``b`` (dynamic, from meta) for a 128-ray state tile.
+    ``b`` (dynamic, from meta) for a ray-state tile.
 
-    meta (SMEM int32): [seed, n_spheres, n_planes, bounce_b].
+    Each grid step owns ``wf_rows`` sub-tiles of 128 rays (state block
+    (16, wf_rows*128)) and loops the shared bounce body over them.  The
+    coarse grid amortizes the per-step pipeline overhead (DMA issue +
+    grid sync) that a 128-ray grid would pay per ray-tile PER BOUNCE —
+    the overhead that ate the compaction win in the first cut (CF job:
+    8100 tiles x 8 bounces at ~microseconds each ~ the whole scan) —
+    while the dead-ray early-out stays at 128-ray granularity: each
+    sub-tile wraps its scan in its own any-live lax.cond, so a sorted
+    dead suffix still skips in 128-ray quanta.
+
+    meta (SMEM int32): [seed, n_spheres, n_planes, bounce_b, n_rays].
     cam (SMEM f32): as pallas_blockwise (only used when ``gen``).
     """
     f32 = jnp.float32
@@ -138,105 +148,109 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
         n_sph = meta_ref[1]
         n_pln = meta_ref[2]
 
-        if gen:
-            tile = pl.program_id(0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-            idx = tile * _LANES + lane
-            pix = idx % n_pix
-            smp = idx // n_pix
-            live0 = (idx < meta_ref[4]).astype(f32)  # meta[4] = n_rays
-            # draws 1-2 are the pixel jitter, 3-6 bounce 0's quad — the
-            # same 1-based per-sample counters as the pixel-major kernel
-            base = smp * jnp.int32(draws_per_sample)
-        else:
-            pix = state_ref[13:14, :].astype(jnp.int32)
-            smp = state_ref[14:15, :].astype(jnp.int32)
-            b_dyn = meta_ref[3]
-            # bounce b's draws are jitter(2) + 4 per earlier bounce in
-            base = (smp * jnp.int32(draws_per_sample) + jnp.int32(2)
-                    + jnp.int32(4) * b_dyn)
-
-        kctr = [0]
-
-        def u01():
-            kctr[0] += 1
-            return _hash_u01_dyn(pix, seed, base + jnp.int32(kctr[0]),
-                                 shape)
-
-        if gen:
-            # raygen: identical float ops to the pixel-major kernel
-            # (pallas_blockwise._make_blockwise_kernel raygen block)
-            px = (pix % width).astype(f32)
-            py = (pix // width).astype(f32)
-            u = u01()
-            v = u01()
-            if center_sample:
-                ctr0 = (smp == 0)
-                jx = jnp.where(ctr0, f32(0.5), u)
-                jy = jnp.where(ctr0, f32(0.5), v)
+        for r_sub in range(wf_rows):
+            sl = pl.ds(r_sub * _LANES, _LANES)
+            if gen:
+                tile = pl.program_id(0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                idx = (tile * wf_rows + r_sub) * _LANES + lane
+                pix = idx % n_pix
+                smp = idx // n_pix
+                live0 = (idx < meta_ref[4]).astype(f32)  # meta[4] = n_rays
+                # draws 1-2 are the pixel jitter, 3-6 bounce 0's quad —
+                # the same 1-based per-sample counters as the pixel-major
+                # kernel
+                base = smp * jnp.int32(draws_per_sample)
             else:
-                jx, jy = u, v
-            cpx, cpy, cpz = cam_ref[0], cam_ref[1], cam_ref[2]
-            r = [cam_ref[3 + i] for i in range(9)]
-            tan_half, aspect, near = cam_ref[12], cam_ref[13], cam_ref[14]
-            nx_ = 2.0 * (px + jx) * f32(1.0 / width) - 1.0
-            ny_ = 1.0 - 2.0 * (py + jy) * f32(1.0 / height)
-            dvx = nx_ * tan_half * aspect
-            dvy = ny_ * tan_half
-            dwx = r[0] * dvx + r[1] * dvy - r[2]
-            dwy = r[3] * dvx + r[4] * dvy - r[5]
-            dwz = r[6] * dvx + r[7] * dvy - r[8]
-            ox = cpx + dwx * near
-            oy = cpy + dwy * near
-            oz = cpz + dwz * near
-            inv = jax.lax.rsqrt(dwx * dwx + dwy * dwy + dwz * dwz)
-            dx, dy, dz = dwx * inv, dwy * inv, dwz * inv
-            one = jnp.ones(shape, f32)
-            tr = one
-            tg = one
-            tb = one
-            live = live0
-            acc = [jnp.zeros(shape, f32) for _ in range(3)]
-        else:
-            ox = state_ref[0:1, :]
-            oy = state_ref[1:2, :]
-            oz = state_ref[2:3, :]
-            dx = state_ref[3:4, :]
-            dy = state_ref[4:5, :]
-            dz = state_ref[5:6, :]
-            tr = state_ref[6:7, :]
-            tg = state_ref[7:8, :]
-            tb = state_ref[8:9, :]
-            acc = [state_ref[9 + c:10 + c, :] for c in range(3)]
-            live = state_ref[12:13, :]
+                pix = state_ref[13:14, sl].astype(jnp.int32)
+                smp = state_ref[14:15, sl].astype(jnp.int32)
+                b_dyn = meta_ref[3]
+                # bounce b's draws follow jitter(2) + 4 per earlier bounce
+                base = (smp * jnp.int32(draws_per_sample) + jnp.int32(2)
+                        + jnp.int32(4) * b_dyn)
 
-        contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), live = \
-            _bounce_once(
-                (sph_ref, pln_ref, aux_ref, seed_ref),
-                (n_sph, n_pln),
-                (ox, oy, oz, dx, dy, dz, tr, tg, tb, live),
-                u01,
-                s_pad=s_pad, p_pad=p_pad, block=block, scan="lean",
-                mxu=False, cull=cull, cull_group=cull_group,
-                rng_mode=rng_mode, skip_cond=not gen)
-        acc = [acc[c] + contrib[c] for c in range(3)]
+            kctr = [0]
 
-        out_ref[0:1, :] = ox
-        out_ref[1:2, :] = oy
-        out_ref[2:3, :] = oz
-        out_ref[3:4, :] = dx
-        out_ref[4:5, :] = dy
-        out_ref[5:6, :] = dz
-        out_ref[6:7, :] = tr
-        out_ref[7:8, :] = tg
-        out_ref[8:9, :] = tb
-        out_ref[9:10, :] = acc[0]
-        out_ref[10:11, :] = acc[1]
-        out_ref[11:12, :] = acc[2]
-        out_ref[12:13, :] = live
-        out_ref[13:14, :] = pix.astype(f32)
-        out_ref[14:15, :] = smp.astype(f32)
-        out_ref[15:16, :] = jnp.zeros(shape, f32)
+            def u01(pix=pix, base=base, kctr=kctr):
+                kctr[0] += 1
+                return _hash_u01_dyn(pix, seed, base + jnp.int32(kctr[0]),
+                                     shape)
+
+            if gen:
+                # raygen: identical float ops to the pixel-major kernel
+                # (pallas_blockwise._make_blockwise_kernel raygen block)
+                px = (pix % width).astype(f32)
+                py = (pix // width).astype(f32)
+                u = u01()
+                v = u01()
+                if center_sample:
+                    ctr0 = (smp == 0)
+                    jx = jnp.where(ctr0, f32(0.5), u)
+                    jy = jnp.where(ctr0, f32(0.5), v)
+                else:
+                    jx, jy = u, v
+                cpx, cpy, cpz = cam_ref[0], cam_ref[1], cam_ref[2]
+                r = [cam_ref[3 + i] for i in range(9)]
+                tan_half, aspect, near = (cam_ref[12], cam_ref[13],
+                                          cam_ref[14])
+                nx_ = 2.0 * (px + jx) * f32(1.0 / width) - 1.0
+                ny_ = 1.0 - 2.0 * (py + jy) * f32(1.0 / height)
+                dvx = nx_ * tan_half * aspect
+                dvy = ny_ * tan_half
+                dwx = r[0] * dvx + r[1] * dvy - r[2]
+                dwy = r[3] * dvx + r[4] * dvy - r[5]
+                dwz = r[6] * dvx + r[7] * dvy - r[8]
+                ox = cpx + dwx * near
+                oy = cpy + dwy * near
+                oz = cpz + dwz * near
+                inv = jax.lax.rsqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+                dx, dy, dz = dwx * inv, dwy * inv, dwz * inv
+                one = jnp.ones(shape, f32)
+                tr = one
+                tg = one
+                tb = one
+                live = live0
+                acc = [jnp.zeros(shape, f32) for _ in range(3)]
+            else:
+                ox = state_ref[0:1, sl]
+                oy = state_ref[1:2, sl]
+                oz = state_ref[2:3, sl]
+                dx = state_ref[3:4, sl]
+                dy = state_ref[4:5, sl]
+                dz = state_ref[5:6, sl]
+                tr = state_ref[6:7, sl]
+                tg = state_ref[7:8, sl]
+                tb = state_ref[8:9, sl]
+                acc = [state_ref[9 + c:10 + c, sl] for c in range(3)]
+                live = state_ref[12:13, sl]
+
+            contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), live = \
+                _bounce_once(
+                    (sph_ref, pln_ref, aux_ref, seed_ref),
+                    (n_sph, n_pln),
+                    (ox, oy, oz, dx, dy, dz, tr, tg, tb, live),
+                    u01,
+                    s_pad=s_pad, p_pad=p_pad, block=block, scan="lean",
+                    mxu=False, cull=cull, cull_group=cull_group,
+                    rng_mode=rng_mode, skip_cond=not gen)
+            acc = [acc[c] + contrib[c] for c in range(3)]
+
+            out_ref[0:1, sl] = ox
+            out_ref[1:2, sl] = oy
+            out_ref[2:3, sl] = oz
+            out_ref[3:4, sl] = dx
+            out_ref[4:5, sl] = dy
+            out_ref[5:6, sl] = dz
+            out_ref[6:7, sl] = tr
+            out_ref[7:8, sl] = tg
+            out_ref[8:9, sl] = tb
+            out_ref[9:10, sl] = acc[0]
+            out_ref[10:11, sl] = acc[1]
+            out_ref[11:12, sl] = acc[2]
+            out_ref[12:13, sl] = live
+            out_ref[13:14, sl] = pix.astype(f32)
+            out_ref[14:15, sl] = smp.astype(f32)
+            out_ref[15:16, sl] = jnp.zeros(shape, f32)
 
     return kernel
 
@@ -244,13 +258,14 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
 @functools.lru_cache(maxsize=32)
 def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                       center_sample, gen, block, cull, cull_group, n_tiles,
-                      interpret):
+                      interpret, wf_rows):
     kernel = _make_wf_kernel(
         width=width, height=height, s_pad=s_pad, p_pad=p_pad,
         max_bounces=max_bounces, rng_mode=rng_mode,
         center_sample=center_sample, gen=gen, block=block, cull=cull,
-        cull_group=cull_group,
+        cull_group=cull_group, wf_rows=wf_rows,
     )
+    span = wf_rows * _LANES
     in_specs = [
         pl.BlockSpec((s_pad, _COLS), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -264,7 +279,7 @@ def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
         in_specs.append(pl.BlockSpec((128, _COLS), lambda i, *_: (0, 0),
                                      memory_space=pltpu.VMEM))
     if not gen:
-        in_specs.append(pl.BlockSpec((16, _LANES), lambda i, *_: (0, i),
+        in_specs.append(pl.BlockSpec((16, span), lambda i, *_: (0, i),
                                      memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
@@ -272,10 +287,10 @@ def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
             num_scalar_prefetch=2,  # meta, cam
             grid=(n_tiles,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((16, _LANES), lambda i, *_: (0, i),
+            out_specs=pl.BlockSpec((16, span), lambda i, *_: (0, i),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((16, n_tiles * _LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((16, n_tiles * span), jnp.float32),
         interpret=interpret,
     )
     return call
@@ -319,7 +334,7 @@ def _sort_state(state, cell_bits: int, sort_mode: str):
 def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                        max_bounces, rng_mode, gamma, center_first, interpret,
                        block, cull, cull_group, sort_schedule, sort_mode,
-                       cell_bits):
+                       cell_bits, wf_rows):
     """Jitted frame: per chunk, gen kernel (raygen + bounce 0), then one
     bounce kernel per remaining bounce with sort/compaction between the
     bounces named in ``sort_schedule``; per-ray radiance is re-ordered
@@ -336,11 +351,11 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
 
     def calls_for(k, center):
         n_rays = n_pix * k
-        n_tiles = -(-n_rays // _LANES)
+        n_tiles = -(-n_rays // (wf_rows * _LANES))
         common = dict(width=width, height=height, s_pad=s_pad, p_pad=p_pad,
                       max_bounces=max_bounces, rng_mode=rng_mode,
                       block=block, cull=cull, cull_group=cull_group,
-                      n_tiles=n_tiles, interpret=interpret)
+                      n_tiles=n_tiles, interpret=interpret, wf_rows=wf_rows)
         gen = _compiled_wf_call(center_sample=center, gen=True, **common)
         stepc = _compiled_wf_call(center_sample=center, gen=False, **common)
         return gen, stepc, n_rays
@@ -404,6 +419,7 @@ def render_forward_wavefront(
     sort_schedule: Optional[tuple] = None,
     sort_mode: str = "variadic",
     cell_bits: int = 2,
+    wf_rows: int = 8,
     include_boxes: bool = False,
     **_unused,
 ) -> jax.Array:
@@ -466,7 +482,7 @@ def render_forward_wavefront(
         interpret=interpret, block=block, cull=cull,
         cull_group=_auto_cull_group(s_pad, block),
         sort_schedule=tuple(sort_schedule), sort_mode=sort_mode,
-        cell_bits=cell_bits,
+        cell_bits=cell_bits, wf_rows=wf_rows,
     )
 
     cam = jnp.concatenate([

@@ -60,8 +60,57 @@ def main():
         one methodology everywhere, dispersion available)."""
         return _sustained(step, iters=iters, windows=5)["median"]
 
-    # --- config 1: basic 200x150 @ 1spp d4, parity posture ------------------
+    # --- native CPU baseline rates (cached; measured on this host) ----------
+    # The ratio column for configs 3/4/5 (round-3 VERDICT item 4): the
+    # native tracer implements both personalities at matched estimator
+    # semantics (native/rt_native.cpp), so TPU/CPU is an apples-to-apples
+    # rays/s ratio per scene+depth (rate is spp-invariant; measured at a
+    # small spp).
+    import json as _json
+
+    _bl_cache_path = os.path.join(REPO, ".baseline_cpu.json")
+
+    def native_mrays(tag, scene, size, spp, personality):
+        try:
+            cache = _json.load(open(_bl_cache_path))
+        except Exception:
+            cache = {}
+        key = f"cfg:{tag}"
+        if key in cache:
+            return cache[key]
+        from rt_tpu import _native
+
+        if not _native.available():
+            os.system(f"make -C {os.path.join(REPO, 'native')} >/dev/null 2>&1")
+            _native._TRIED = False
+        if not _native.available():
+            return 0.0
+        _native.render_cpu(scene, size, spp=1, max_bounces=8,
+                           personality=personality)
+        _, secs = _native.render_cpu(scene, size, spp=spp, max_bounces=8,
+                                     personality=personality)
+        rate = size[0] * size[1] * spp / secs / 1e6
+        cache[key] = rate
+        _json.dump(cache, open(_bl_cache_path, "w"))
+        return rate
+
+    def vs_cpu(tpu_mrays, cpu_mrays):
+        if not cpu_mrays:
+            return "no native lib"
+        return f"{tpu_mrays/cpu_mrays:.1f}x the native CPU baseline " \
+               f"({cpu_mrays:.2f} Mrays/s)"
+
+    # --- session forward reference (ratio anchor) ---------------------------
+    # Absolute rates swing ±25% between sessions (BASELINE.md variance
+    # note); every fwd+bwd row below therefore also reports its time ratio
+    # against THIS row, measured in the same session (VERDICT r3 item 3).
     s = rt_tpu.load("scenes/basic.toml")
+    ref_step = make_render_step(s, (800, 600), spp=4, max_bounces=8)
+    t_ref = sustained(ref_step, iters=16)
+    rows.append(("ref: basic 800x600 @4spp d8 fwd (session ratio anchor)",
+                 f"{800*600*4/t_ref/1e6:.0f} Mrays/s ({t_ref*1e3:.2f} ms)"))
+
+    # --- config 1: basic 200x150 @ 1spp d4, parity posture ------------------
     t_cold, img = timeit(lambda i: render_forward_pallas(
         s, (200, 150), seed=i, spp=1, max_bounces=4))
     step1 = make_render_step(s, (200, 150), spp=1, max_bounces=4)
@@ -90,7 +139,8 @@ def main():
     step = make_mse_step(params, s, target, (800, 600), spp=4, max_bounces=8)
     t = sustained(lambda i: step(i)[1])
     rows.append(("2: basic 800x600 @4spp d8 fwd+bwd (sphere/material/camera grads)",
-                 f"{800*600*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step)"))
+                 f"{800*600*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
+                 f"step/fwd = {t/t_ref:.2f}x the session anchor)"))
 
     # --- config 3: dielectric 800x600 @ 64spp sm ----------------------------
     d = rt_tpu.load("scenes/dielectric.toml")
@@ -98,9 +148,11 @@ def main():
     step3 = make_render_step(d, (800, 600), spp=spp3, max_bounces=8,
                              personality="sm")
     t = sustained(step3, iters=8)
+    sm_fwd_rate = 800*600*spp3/t/1e6
+    cpu3 = native_mrays("3-sm-dielectric", d, (400, 300), 16, "sm")
     rows.append((f"3: dielectric 800x600 @{spp3}spp d8 fwd (sm)",
-                 f"{800*600*spp3/t/1e6:.0f} Mrays/s sustained "
-                 f"({t*1e3:.1f} ms/frame)"))
+                 f"{sm_fwd_rate:.0f} Mrays/s sustained "
+                 f"({t*1e3:.1f} ms/frame; {vs_cpu(sm_fwd_rate, cpu3)})"))
 
     # --- config 3: Fresnel/refraction + camera-pose gradients ---------------
     dparams = diff.extract_params(d)
@@ -112,10 +164,12 @@ def main():
                    and float(np.abs(np.asarray(dgrads["camera.position"])).max()) > 0
                    and float(np.abs(np.asarray(dgrads["materials.reflectivity"])).max()) > 0)
     t = sustained(lambda i: dstep(i)[1])
+    sm_step_rate = 800*600*4/t/1e6
     rows.append(("3: dielectric 800x600 @4spp d8 fwd+bwd "
                  "(IOR/Fresnel + camera-pose grads, sm)",
-                 f"{800*600*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step, "
-                 f"grad_ok={grad_ok})"))
+                 f"{sm_step_rate:.0f} Mrays/s ({t*1e3:.1f} ms/step, "
+                 f"grad_ok={grad_ok}; {sm_step_rate/sm_fwd_rate:.2f}x of the "
+                 f"session sm fwd rate; {vs_cpu(sm_step_rate, cpu3)})"))
 
     # --- 96-640-primitive window: fused gradients two ways -----------------
     # (a) the unrolled fused kernel with the lean winner-id stash (auto past
@@ -154,9 +208,11 @@ def main():
     t, _ = timeit(lambda i: render_forward_blockwise(
         s500, (1920, 1080), seed=i, spp=spp4, max_bounces=8), reps=2)
     rb = 1920 * 1080 * spp4 * 8
+    cpu4 = native_mrays("4-mg-500sph", s500, (480, 270), 8, "mg")
     rows.append((f"4: 500-sphere 1080p @{spp4}spp d8 fwd (blockwise)",
                  f"{rb/t/1e9:.2f} Gray-bounces/s ({t:.2f} s/frame; "
-                 f"128 spp ≈ {t*128/spp4:.1f} s)"))
+                 f"128 spp ≈ {t*128/spp4:.1f} s; "
+                 f"{vs_cpu(1920*1080*spp4/t/1e6, cpu4)})"))
 
     # static-scene alternative: the unrolled megakernel (scene baked, per-
     # bounce dead-tile early-out) — recompiles on geometry edits but runs
@@ -203,9 +259,11 @@ def main():
     t, _ = timeit(lambda i: render_forward_blockwise(
         s5k, (960, 540), seed=i, spp=2, max_bounces=8), reps=2)
     rb = 960 * 540 * 2 * 8
+    cpu5 = native_mrays("5-mg-5000sph", s5k, (240, 135), 2, "mg")
     rows.append(("5: 5000-sphere fwd rate (960x540 @2spp d8 slice, blockwise)",
                  f"{rb/t/1e9:.2f} Gray-bounces/s "
-                 f"({rb*5120/t/1e12:.1f} T prim-tests/s)"))
+                 f"({rb*5120/t/1e12:.1f} T prim-tests/s; "
+                 f"{vs_cpu(960*540*2/t/1e6, cpu5)})"))
 
     # --- config 5: gradients + the end-to-end 4K frame ----------------------
     if not args.fast:
