@@ -420,6 +420,7 @@ def render_forward_wavefront(
     sort_mode: str = "variadic",
     cell_bits: int = 2,
     wf_rows: int = 8,
+    cull_group: Optional[int] = None,
     include_boxes: bool = False,
     **_unused,
 ) -> jax.Array:
@@ -480,7 +481,8 @@ def render_forward_wavefront(
         gamma=gamma,
         center_first=(True if center_sample is None else center_sample),
         interpret=interpret, block=block, cull=cull,
-        cull_group=_auto_cull_group(s_pad, block),
+        cull_group=(cull_group if cull_group is not None
+                    else _auto_cull_group(s_pad, block)),
         sort_schedule=tuple(sort_schedule), sort_mode=sort_mode,
         cell_bits=cell_bits, wf_rows=wf_rows,
     )
