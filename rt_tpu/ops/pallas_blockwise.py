@@ -242,7 +242,7 @@ def _seed_table(s_tab: jax.Array, block: int) -> jax.Array:
 
 
 def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
-                 mxu, cull, cull_group, rng_mode, skip_cond):
+                 mxu, cull, cull_group, rng_mode, skip_cond, dbg=()):
     """ONE path-tracing bounce for a 128-lane ray tile: blockwise
     closest-hit scan (payload / lean / culled / MXU variants) + sky on
     miss + lambert/metal/dielectric scatter (mg_ray_tracer.cpp:109-174,
@@ -632,6 +632,12 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
         one-hot contraction per table (exact, see above)."""
         best_t, bidxf, _bgidxf, isplf = rec
         hitb = best_t < f32(1e37)
+        if "skip_extract" in dbg:
+            # timing knob: pretend the winner fetch is free (wrong values,
+            # right shapes/costs elsewhere)
+            return (best_t, zero, zero, zero, zero, zero, zero,
+                    jnp.where(hitb, f32(0.5), zero), zero, zero, one,
+                    zero, zero, isplf)
         # Mosaic iota must be integer-typed; bidx is a small
         # exact integer in f32, so the int cast is lossless
         bidx_i = bidxf.astype(jnp.int32)

@@ -107,7 +107,8 @@ def _hash_u01_dyn(pix, seed, ctr, shape):
 
 
 def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
-                    center_sample, gen, block, cull, cull_group, wf_rows):
+                    center_sample, gen, block, cull, cull_group, wf_rows,
+                    dbg=()):
     """Wavefront kernel body.
 
     ``gen=True``: raygen + bounce 0.  No state input; pixel/sample ids
@@ -232,7 +233,7 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                     u01,
                     s_pad=s_pad, p_pad=p_pad, block=block, scan="lean",
                     mxu=False, cull=cull, cull_group=cull_group,
-                    rng_mode=rng_mode, skip_cond=not gen)
+                    rng_mode=rng_mode, skip_cond=not gen, dbg=dbg)
             acc = [acc[c] + contrib[c] for c in range(3)]
 
             out_ref[0:1, sl] = ox
@@ -258,12 +259,12 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
 @functools.lru_cache(maxsize=32)
 def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                       center_sample, gen, block, cull, cull_group, n_tiles,
-                      interpret, wf_rows):
+                      interpret, wf_rows, dbg=()):
     kernel = _make_wf_kernel(
         width=width, height=height, s_pad=s_pad, p_pad=p_pad,
         max_bounces=max_bounces, rng_mode=rng_mode,
         center_sample=center_sample, gen=gen, block=block, cull=cull,
-        cull_group=cull_group, wf_rows=wf_rows,
+        cull_group=cull_group, wf_rows=wf_rows, dbg=dbg,
     )
     span = wf_rows * _LANES
     in_specs = [
@@ -334,7 +335,7 @@ def _sort_state(state, cell_bits: int, sort_mode: str):
 def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                        max_bounces, rng_mode, gamma, center_first, interpret,
                        block, cull, cull_group, sort_schedule, sort_mode,
-                       cell_bits, wf_rows):
+                       cell_bits, wf_rows, dbg=()):
     """Jitted frame: per chunk, gen kernel (raygen + bounce 0), then one
     bounce kernel per remaining bounce with sort/compaction between the
     bounces named in ``sort_schedule``; per-ray radiance is re-ordered
@@ -355,7 +356,8 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
         common = dict(width=width, height=height, s_pad=s_pad, p_pad=p_pad,
                       max_bounces=max_bounces, rng_mode=rng_mode,
                       block=block, cull=cull, cull_group=cull_group,
-                      n_tiles=n_tiles, interpret=interpret, wf_rows=wf_rows)
+                      n_tiles=n_tiles, interpret=interpret, wf_rows=wf_rows,
+                      dbg=dbg)
         gen = _compiled_wf_call(center_sample=center, gen=True, **common)
         stepc = _compiled_wf_call(center_sample=center, gen=False, **common)
         return gen, stepc, n_rays
@@ -421,6 +423,7 @@ def render_forward_wavefront(
     cell_bits: int = 2,
     wf_rows: int = 8,
     cull_group: Optional[int] = None,
+    dbg: tuple = (),
     include_boxes: bool = False,
     **_unused,
 ) -> jax.Array:
@@ -484,7 +487,7 @@ def render_forward_wavefront(
         cull_group=(cull_group if cull_group is not None
                     else _auto_cull_group(s_pad, block)),
         sort_schedule=tuple(sort_schedule), sort_mode=sort_mode,
-        cell_bits=cell_bits, wf_rows=wf_rows,
+        cell_bits=cell_bits, wf_rows=wf_rows, dbg=tuple(dbg),
     )
 
     cam = jnp.concatenate([
