@@ -421,7 +421,7 @@ def render_forward_wavefront(
     sort_schedule: Optional[tuple] = None,
     sort_mode: str = "variadic",
     cell_bits: int = 2,
-    wf_rows: int = 8,
+    wf_rows: int = 4,
     cull_group: Optional[int] = None,
     dbg: tuple = (),
     include_boxes: bool = False,
@@ -464,12 +464,24 @@ def render_forward_wavefront(
         # conservative block cull teeth; default it on whenever the
         # grouped tables fit (even for mid-size scenes)
         cull = s_pad >= 512 and s_pad // block <= 128
+    if cull_group is None and cull:
+        # g4 measured best on coherent sorted tiles (219 ms vs 229 at the
+        # auto g8, 237 at g2, 297 at g1 — branch cost still beats the
+        # extra skips below 4-block granularity; CG2 job)
+        nb = s_pad // block
+        for g in (4, 2, 1):
+            if nb % g == 0:
+                cull_group = g
+                break
     if order is None:
         order = "morton" if (cull and scene.spheres.count > 1) else "index"
     if sort_schedule is None:
-        # sort before every bounce after the first diffuse scatter;
-        # bounce 0 is pixel-ordered (coherent) by construction
-        sort_schedule = tuple(range(1, max_bounces))
+        # measured on v5e-1 (5000-sphere config-5 slice, CG0/CG2 jobs):
+        # each variadic sort costs ~9 ms at 1M rays, and re-sorting buys
+        # little once the live region is compact — (1, 3, 5) beat both
+        # every-bounce (260 ms vs 220) and sort-once (228); bounce 0 is
+        # pixel-ordered (coherent) by construction
+        sort_schedule = tuple(b for b in (1, 3, 5) if b < max_bounces)
     gidx = None
     if order == "morton":
         perm = _morton_perm(s_cols)
