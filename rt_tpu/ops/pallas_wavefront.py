@@ -335,13 +335,23 @@ def _sort_state(state, cell_bits: int, sort_mode: str):
 def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                        max_bounces, rng_mode, gamma, center_first, interpret,
                        block, cull, cull_group, sort_schedule, sort_mode,
-                       cell_bits, wf_rows, dbg=()):
+                       cell_bits, wf_rows, shrink_at, dbg=()):
     """Jitted frame: per chunk, gen kernel (raygen + bounce 0), then one
     bounce kernel per remaining bounce with sort/compaction between the
     bounces named in ``sort_schedule``; per-ray radiance is re-ordered
     back to (sample, pixel) order with a key sort and reduced in exactly
     the pixel-major kernel's addition order (bit parity, see module
-    docstring)."""
+    docstring).
+
+    ``shrink_at``: after the sort at this bounce the LIVE PREFIX is
+    carved out with a static slice and the remaining bounces run on it —
+    a runtime lax.switch picks the smallest {full, 1/4, 1/16} bucket
+    whose capacity covers the live count (shapes stay static per branch;
+    bit-exact because dead-suffix rays' radiance is already final).
+    This attacks what the dead-sub-tile lax.cond cannot: the per-grid-
+    step pipeline overhead of all-dead tiles, measured at ~9 ms/bounce
+    on the config-5 slice even with every ray dead (CG3 sky-camera
+    probe)."""
     n_pix = width * height
     chunk_sizes = []
     remaining = spp
@@ -356,29 +366,72 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
         common = dict(width=width, height=height, s_pad=s_pad, p_pad=p_pad,
                       max_bounces=max_bounces, rng_mode=rng_mode,
                       block=block, cull=cull, cull_group=cull_group,
-                      n_tiles=n_tiles, interpret=interpret, wf_rows=wf_rows,
-                      dbg=dbg)
-        gen = _compiled_wf_call(center_sample=center, gen=True, **common)
-        stepc = _compiled_wf_call(center_sample=center, gen=False, **common)
-        return gen, stepc, n_rays
+                      interpret=interpret, wf_rows=wf_rows, dbg=dbg)
+        gen = _compiled_wf_call(center_sample=center, gen=True,
+                                n_tiles=n_tiles, **common)
+        stepc = {
+            nt: _compiled_wf_call(center_sample=center, gen=False,
+                                  n_tiles=nt, **common)
+            for nt in {n_tiles, max(1, n_tiles // 4),
+                       max(1, n_tiles // 16)}
+        }
+        return gen, stepc, n_rays, n_tiles
 
     calls = [calls_for(k, (ci == 0 and center_first))
              for ci, k in enumerate(chunk_sizes)]
+    span = wf_rows * _LANES
 
     @jax.jit
     def run(metas, cam, s_tab, p_tab):
         aux = ((_block_bounds(s_tab, block),
                 _seed_table(s_tab, block)) if cull else ())
         total = None
-        for ci, (k, (gen, stepc, n_rays)) in enumerate(
+        for ci, (k, (gen, stepc, n_rays, n_tiles)) in enumerate(
                 zip(chunk_sizes, calls)):
             meta_g = metas[ci].at[4].set(n_rays)
             state = gen(meta_g, cam, s_tab, p_tab, *aux)
-            for b in range(1, max_bounces):
+
+            def run_bounce(st, b, nt):
+                meta_b = metas[ci].at[3].set(b)
+                return stepc[nt](meta_b, cam, s_tab, p_tab, *aux, st)
+
+            b = 1
+            while b < max_bounces:
                 if b in sort_schedule:
                     state = _sort_state(state, cell_bits, sort_mode)
-                meta_b = metas[ci].at[3].set(b)
-                state = stepc(meta_b, cam, s_tab, p_tab, *aux, state)
+                    if b == shrink_at:
+                        break
+                state = run_bounce(state, b, n_tiles)
+                b += 1
+
+            if b < max_bounces:
+                # bucketed tail on the sorted live prefix
+                n_live = jnp.sum((state[12] > 0.0).astype(jnp.int32))
+                bucket_tiles = [n_tiles, max(1, n_tiles // 4),
+                                max(1, n_tiles // 16)]
+
+                def make_tail(nt, b0=b):
+                    w_sub = nt * span
+
+                    def tail(st):
+                        sub = st[:, :w_sub] if w_sub < st.shape[1] else st
+                        for bb in range(b0, max_bounces):
+                            if bb in sort_schedule and bb != b0:
+                                sub = _sort_state(sub, cell_bits,
+                                                  sort_mode)
+                            sub = run_bounce(sub, bb, nt)
+                        if w_sub < st.shape[1]:
+                            sub = jnp.concatenate([sub, st[:, w_sub:]],
+                                                  axis=1)
+                        return sub
+
+                    return tail
+
+                idx = jnp.where(
+                    n_live <= bucket_tiles[2] * span, 2,
+                    jnp.where(n_live <= bucket_tiles[1] * span, 1, 0))
+                state = jax.lax.switch(
+                    idx, [make_tail(nt) for nt in bucket_tiles], state)
             # ---- assemble: back to (sample, pixel) order ----------------
             ray_id = (state[14] * jnp.float32(n_pix) + state[13])
             out = jax.lax.sort(
@@ -423,6 +476,7 @@ def render_forward_wavefront(
     cell_bits: int = 2,
     wf_rows: int = 4,
     cull_group: Optional[int] = None,
+    shrink_at: Optional[int] = -1,
     dbg: tuple = (),
     include_boxes: bool = False,
     **_unused,
@@ -482,6 +536,14 @@ def render_forward_wavefront(
         # every-bounce (260 ms vs 220) and sort-once (228); bounce 0 is
         # pixel-ordered (coherent) by construction
         sort_schedule = tuple(b for b in (1, 3, 5) if b < max_bounces)
+    if shrink_at == -1:
+        # auto: shrink at the second sort (live counts have collapsed by
+        # then on path-traced scenes; CG3 measured ~9 ms/bounce of pure
+        # dead-tile overhead that only a smaller array removes)
+        cands = [b for b in sort_schedule if b >= 2]
+        shrink_at = cands[0] if cands else None
+    if shrink_at is not None and shrink_at not in sort_schedule:
+        raise ValueError("shrink_at must name a bounce in sort_schedule")
     gidx = None
     if order == "morton":
         perm = _morton_perm(s_cols)
@@ -500,6 +562,7 @@ def render_forward_wavefront(
                     else _auto_cull_group(s_pad, block)),
         sort_schedule=tuple(sort_schedule), sort_mode=sort_mode,
         cell_bits=cell_bits, wf_rows=wf_rows, dbg=tuple(dbg),
+        shrink_at=shrink_at,
     )
 
     cam = jnp.concatenate([
