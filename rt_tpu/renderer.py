@@ -95,7 +95,7 @@ def auto_route(scene, platform: str, include_boxes: bool = False) -> tuple:
     """Pick the fastest supported forward path for ``mg_auto``/``sm_auto``.
 
     Returns ``(route, warning)`` with route in {"pallas", "blockwise",
-    "jnp"}; ``warning`` is a message when an accelerator is present but the
+    "wavefront", "jnp"}; ``warning`` is a message when an accelerator is present but the
     scene forces the (much slower) jnp wavefront — surfaced via
     rt_tpu.log.warn_once so the 10-100x slowdown is never silent."""
     if platform not in ("cpu",):
@@ -105,6 +105,13 @@ def auto_route(scene, platform: str, include_boxes: bool = False) -> tuple:
         if pallas_supported(scene, include_boxes):
             return "pallas", None
         if blockwise_supported(scene, include_boxes):
+            # the bounce-major wavefront overtakes the pixel-major scan
+            # once the per-ray primitive scan dominates its sort/state
+            # overheads (measured crossover ~2048 padded primitives)
+            from .ops.pallas_blockwise import _bucket
+
+            if _bucket(scene.spheres.count) >= 2048:
+                return "wavefront", None
             return "blockwise", None
         n = scene.spheres.count + scene.planes.count
         why = (f"{n} primitives > {MAX_BLOCKWISE_PRIMS}"
@@ -179,6 +186,25 @@ def _install_builtins() -> None:
     register_renderer("mg_blockwise", _blockwise("mg"))
     register_renderer("sm_blockwise", _blockwise("sm"))
 
+    def _wavefront(personality):
+        def factory():
+            def render(scene, size, key=None, *, seed: int = 0, **opts):
+                from .ops.pallas_wavefront import render_forward_wavefront
+
+                return render_forward_wavefront(
+                    scene, size, seed=seed, personality=personality, **opts
+                )
+            return render
+        return factory
+
+    # Bounce-major wavefront (rt_tpu.ops.pallas_wavefront): ray
+    # compaction + coherence sorting between bounces — the many-thousand-
+    # primitive specialist (measured 1.4-1.8x the pixel-major blockwise
+    # kernel on the 5000-sphere config-5 slice; SLOWER below ~2048
+    # primitives, where per-ray state I/O and sorts outweigh the scan).
+    register_renderer("mg_wavefront", _wavefront("mg"))
+    register_renderer("sm_wavefront", _wavefront("sm"))
+
     def _auto(personality):
         def factory():
             def render(scene, size, key=None, *, seed: int = 0, **opts):
@@ -203,6 +229,14 @@ def _install_builtins() -> None:
 
                     opts.pop("rng_mode", None)
                     return render_forward_blockwise(
+                        scene, size, seed=seed,
+                        personality=personality, **opts)
+                if route == "wavefront":
+                    from .ops.pallas_wavefront import render_forward_wavefront
+
+                    opts.pop("rng_mode", None)
+                    opts.pop("rng_impl", None)
+                    return render_forward_wavefront(
                         scene, size, seed=seed,
                         personality=personality, **opts)
                 if key is None:

@@ -134,3 +134,16 @@ spheres = [
     b = _wf(sc, (48, 32), **kw)
     assert np.isfinite(b).all()
     np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+def test_registry_and_auto_route():
+    from rt_tpu import renderer as reg
+
+    assert reg.find_by_name("mg_wavefront") is not None
+    assert reg.find_by_name("sm_wavefront") is not None
+    big = make_procedural_scene(5000)
+    small = make_procedural_scene(200)
+    route_big, _ = reg.auto_route(big, "tpu")
+    route_small, _ = reg.auto_route(small, "tpu")
+    assert route_big == "wavefront"
+    assert route_small in ("blockwise", "pallas")
