@@ -530,12 +530,14 @@ def render_forward_wavefront(
     if order is None:
         order = "morton" if (cull and scene.spheres.count > 1) else "index"
     if sort_schedule is None:
-        # measured on v5e-1 (5000-sphere config-5 slice, CG0/CG2 jobs):
-        # each variadic sort costs ~9 ms at 1M rays, and re-sorting buys
-        # little once the live region is compact — (1, 3, 5) beat both
-        # every-bounce (260 ms vs 220) and sort-once (228); bounce 0 is
-        # pixel-ordered (coherent) by construction
-        sort_schedule = tuple(b for b in (1, 3, 5) if b < max_bounces)
+        # measured on v5e-1 (5000-sphere config-5 slice, CG0/CG2/CG5
+        # jobs): each variadic sort costs ~9 ms at 1M rays and re-sorting
+        # a compact live region buys little, but sorting at bounce 2 lets
+        # the bucketed shrink fire while live counts are still collapsing
+        # (0.604 -> 0.044 on the config-5 scene): (1,2,5)+shrink@2 = 194.5
+        # ms vs (1,3,5)+shrink@3 = 211.9 vs every-bounce = 260; bounce 0
+        # is pixel-ordered (coherent) by construction
+        sort_schedule = tuple(b for b in (1, 2, 5) if b < max_bounces)
     if shrink_at == -1:
         # auto: shrink at the second sort (live counts have collapsed by
         # then on path-traced scenes; CG3 measured ~9 ms/bounce of pure
