@@ -260,10 +260,27 @@ def main():
         s5k, (960, 540), seed=i, spp=2, max_bounces=8), reps=2)
     rb = 960 * 540 * 2 * 8
     cpu5 = native_mrays("5-mg-5000sph", s5k, (240, 135), 2, "mg")
+    t_bw5 = t
     rows.append(("5: 5000-sphere fwd rate (960x540 @2spp d8 slice, blockwise)",
                  f"{rb/t/1e9:.2f} Gray-bounces/s "
                  f"({rb*5120/t/1e12:.1f} T prim-tests/s; "
                  f"{vs_cpu(960*540*2/t/1e6, cpu5)})"))
+
+    # bounce-major wavefront (compaction + coherence sort + bucketed
+    # shrink): the many-primitive specialist, same estimator bit-for-bit
+    # (rt_tpu.ops.pallas_wavefront; round-4 VERDICT item 1)
+    from rt_tpu.ops.pallas_wavefront import render_forward_wavefront
+
+    def wf5(i):
+        return render_forward_wavefront(s5k, (960, 540), seed=i, spp=2,
+                                        max_bounces=8)
+
+    jax.block_until_ready(wf5(0))
+    t = sustained(wf5, iters=4)
+    rows.append(("5: 5000-sphere fwd rate (same slice, WAVEFRONT)",
+                 f"{rb/t/1e9:.2f} Gray-bounces/s ({t*1e3:.0f} ms; "
+                 f"{t_bw5/t:.2f}x the pixel-major blockwise kernel "
+                 f"same-session; {vs_cpu(960*540*2/t/1e6, cpu5)})"))
 
     # --- config 5: gradients + the end-to-end 4K frame ----------------------
     if not args.fast:
