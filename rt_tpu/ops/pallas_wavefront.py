@@ -43,6 +43,33 @@ tile-order dependent), hence this kernel is hash-RNG only.
 Tie-breaking, scan order, sky, scatter semantics: reference
 mg_ray_tracer.cpp:36-174 via _bounce_once; see pallas_blockwise.py.
 
+Measured (v5e-1, 5000-sphere config-5 slice 960x540@2spp d8; worker jobs
+CF/CG0/CG2/CG3/CG5, all same-session ratios vs the pixel-major blockwise
+kernel at ~306-316 ms):
+
+    ====================================================  ======  =====
+    configuration                                          ms     ratio
+    ====================================================  ======  =====
+    pure bounce-major, no sort, wf_rows=1                  260    1.19x
+    + compaction sort @1                                   228    1.38x
+    + wf_rows=4                                            226    1.40x
+    + cull_group=4 (finer grouped cull, sorted tiles)      219    1.40x
+    + bucketed shrink @3 (sort 1,3,5)                      212    1.49x
+    + shrink @2 (sort 1,2,5 — the default)                 194    1.62x
+    ====================================================  ======  =====
+
+    Negative results kept deliberately: sorting EVERY bounce loses
+    (~9 ms/sort at 1M rays vs little extra skipping: 260 ms); per-block
+    cull granularity below 4 loses (g2 237, g1 297 — branch overhead);
+    wf_rows=16 spills (350 ms); block=64 loses badly (421).  The
+    500-sphere config-4 shape is SLOWER than pixel-major (0.5x): with
+    only 4 block-groups of scan per tile, per-ray state I/O + sorts
+    outweigh the skips — the auto-route keeps blockwise below 2048
+    padded primitives.  A sky-camera probe (every ray dead after bounce
+    0) measures the structural floor at ~120 ms: per-grid-step pipeline
+    overhead on dead tiles is what the bucketed shrink attacks; the
+    in-kernel any-live lax.cond alone cannot remove it.
+
 State row layout (f32):
   0-2  origin        3-5  direction      6-8  throughput
   9-11 radiance acc  12   live flag      13   pixel index
