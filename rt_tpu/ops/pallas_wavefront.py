@@ -361,8 +361,8 @@ def _sort_state(state, cell_bits: int, sort_mode: str):
 @functools.lru_cache(maxsize=32)
 def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                        max_bounces, rng_mode, gamma, center_first, interpret,
-                       block, cull, cull_group, sort_schedule, sort_mode,
-                       cell_bits, wf_rows, shrink_at, dbg=()):
+                       block, cull, cull_gen, cull_group, sort_schedule,
+                       sort_mode, cell_bits, wf_rows, shrink_at, dbg=()):
     """Jitted frame: per chunk, gen kernel (raygen + bounce 0), then one
     bounce kernel per remaining bounce with sort/compaction between the
     bounces named in ``sort_schedule``; per-ray radiance is re-ordered
@@ -395,7 +395,8 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                       block=block, cull=cull, cull_group=cull_group,
                       interpret=interpret, wf_rows=wf_rows, dbg=dbg)
         gen = _compiled_wf_call(center_sample=center, gen=True,
-                                n_tiles=n_tiles, **common)
+                                n_tiles=n_tiles,
+                                **{**common, "cull": cull_gen})
         stepc = {
             nt: _compiled_wf_call(center_sample=center, gen=False,
                                   n_tiles=nt, **common)
@@ -416,7 +417,8 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
         for ci, (k, (gen, stepc, n_rays, n_tiles)) in enumerate(
                 zip(chunk_sizes, calls)):
             meta_g = metas[ci].at[4].set(n_rays)
-            state = gen(meta_g, cam, s_tab, p_tab, *aux)
+            aux_g = aux if cull_gen else ()
+            state = gen(meta_g, cam, s_tab, p_tab, *aux_g)
 
             def run_bounce(st, b, nt):
                 meta_b = metas[ci].at[3].set(b)
@@ -503,6 +505,7 @@ def render_forward_wavefront(
     cell_bits: int = 2,
     wf_rows: int = 4,
     cull_group: Optional[int] = None,
+    cull_gen: Optional[bool] = None,
     shrink_at: Optional[int] = -1,
     dbg: tuple = (),
     include_boxes: bool = False,
@@ -587,6 +590,7 @@ def render_forward_wavefront(
         gamma=gamma,
         center_first=(True if center_sample is None else center_sample),
         interpret=interpret, block=block, cull=cull,
+        cull_gen=bool(cull) if cull_gen is None else bool(cull_gen),
         cull_group=(cull_group if cull_group is not None
                     else _auto_cull_group(s_pad, block)),
         sort_schedule=tuple(sort_schedule), sort_mode=sort_mode,
