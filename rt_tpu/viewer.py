@@ -278,8 +278,8 @@ def interactive(
     # materializes + ANSI-draws frame N-1 — the ~25-50 ms tunnel round
     # trip overlaps the terminal I/O instead of serializing after it.
     # Measured on the remote tunnel (tools job CI_viewerpipe, 320x240
-    # mg_pallas frames + a 15 ms draw): blocked loop 81.8 ms/frame,
-    # pipelined 67.9 ms/frame -> 1.20x cadence; the win grows with
+    # mg_pallas frames + a 15 ms draw): blocked loop 139.2 ms/frame,
+    # pipelined 108.3 ms/frame -> 1.29x cadence; the win grows with
     # terminal size (draw cost) and vanishes for instant draws.
     def kick(low_res: bool):
         """Dispatch a frame render; returns the un-materialized device
