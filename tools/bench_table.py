@@ -142,6 +142,17 @@ def main():
                  f"{800*600*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
                  f"step/fwd = {t/t_ref:.2f}x the session anchor)"))
 
+    # config 2 at its SPECIFIED 16 spp (round-3 VERDICT item 5): the mono
+    # stash doesn't fit 16 spp — auto-routes to the per-sample pipeline
+    if not args.fast:
+        step16 = make_mse_step(params, s, target, (800, 600), spp=16,
+                               max_bounces=8)
+        t = sustained(lambda i: step16(i)[1], iters=8)
+        rows.append(("2: basic 800x600 @16spp d8 fwd+bwd (SPECIFIED spp; "
+                     "per-sample pipeline)",
+                     f"{800*600*16/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
+                     "FD-checked at 16 spp in tools job CK_gradspp)"))
+
     # --- config 3: dielectric 800x600 @ 64spp sm ----------------------------
     d = rt_tpu.load("scenes/dielectric.toml")
     spp3 = 8 if args.fast else 64
@@ -170,6 +181,16 @@ def main():
                  f"{sm_step_rate:.0f} Mrays/s ({t*1e3:.1f} ms/step, "
                  f"grad_ok={grad_ok}; {sm_step_rate/sm_fwd_rate:.2f}x of the "
                  f"session sm fwd rate; {vs_cpu(sm_step_rate, cpu3)})"))
+
+    # config 3 at its SPECIFIED 64 spp (round-3 VERDICT item 5)
+    if not args.fast:
+        dstep64 = make_mse_step(dparams, d, target, (800, 600), spp=64,
+                                max_bounces=8, personality="sm")
+        t = sustained(lambda i: dstep64(i)[1], iters=2)
+        rows.append(("3: dielectric 800x600 @64spp d8 fwd+bwd (SPECIFIED "
+                     "spp, sm; per-sample pipeline)",
+                     f"{800*600*64/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
+                     "FD-checked in tools job CK_gradspp)"))
 
     # --- 96-640-primitive window: fused gradients two ways -----------------
     # (a) the unrolled fused kernel with the lean winner-id stash (auto past
