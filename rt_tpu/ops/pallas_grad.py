@@ -64,6 +64,32 @@ session so the ratios are machine-state-independent):
     was 88% accumulator cond-carry copies (1.41 of 1.60 ms) — that is
     what acc_outside/acc_scratch remove.  The fused step now costs 1.49x
     the forward-only kernel (round 2: 2.7x).
+
+Round-4 sm (dielectric) cost split next to mg, same session (v5e-1,
+800x600 @4spp d8; CH job, dbg knobs; mg = basic.toml 3 spheres, sm =
+dielectric.toml 7 spheres — the two BASELINE rows the sm/mg ratio is
+defined on):
+
+    ==========================  =========  =========
+    ms/step                       mg (3sph)  sm (7sph)
+    ==========================  =========  =========
+    forward + stash + loss         1.91       2.79
+    reverse core (vjp/hand)        0.60       0.85
+    per-primitive accumulation     0.50       0.62
+    total                          3.02       4.25
+    ==========================  =========  =========
+
+    ratio 0.71 same-session (round 3 recorded 0.65 cross-session).  The
+    gap decomposes as ~0.5 ms of scene size (7 vs 3 spheres in the
+    unrolled scan + accumulators) and ~0.6 ms of dielectric math +
+    rows=16 tiling: sm tiles cap at rows=16 — the round-3 BR job's
+    "rows 24/32" sm rows were PHANTOMS (the old tune defaults silently
+    reduced explicit rows to 16 for dielectric scenes; fixed in
+    _default_tune); genuinely compiling rows>=24 with the 11-array
+    stash OOMs scoped VMEM (CH job: 18.5 MB > 16 MB).  Baking r0/1-over-
+    IOR as payload constants was evaluated and rejected: the winner-
+    select costs (+2 ops x n_prims per bounce-sample) cancel the saved
+    divides.
 """
 
 from __future__ import annotations
