@@ -79,7 +79,10 @@ defined on):
     total                          3.02       4.25
     ==========================  =========  =========
 
-    ratio 0.71 same-session (round 3 recorded 0.65 cross-session).  The
+    ratio 0.71 same-session (round 3 recorded 0.65 cross-session);
+    rows=24 + scratch accumulators (now the dielectric default, CM job)
+    lifts sm to 4.03 ms = ratio 0.68 in a session where the default
+    measured 0.615 — net same-session gain ~10%.  The
     gap decomposes as ~0.5 ms of scene size (7 vs 3 spheres in the
     unrolled scan + accumulators) and ~0.6 ms of dielectric math +
     rows=16 tiling: sm tiles cap at rows=16 — the round-3 BR job's
@@ -1867,9 +1870,21 @@ def _default_tune(s_cols, p_cols, rows, rng_impl, mode, lean):
     if mode != "mono" or not lean:
         return (), rows
     has_die_l = bool((s_cols[9] == 2.0).any() or (p_cols[9] == 2.0).any())
-    if has_die_l and rows > 16:
-        rows = 16
     n_pr = s_cols.shape[1] + p_cols.shape[1]
+    if has_die_l and rows > 16:
+        # dielectric reverse chains are VMEM-fatter: rows=32 OOMs scoped
+        # VMEM (18.5 MB > 16, CH job), but rows=24 + scratch accumulators
+        # fits and measured 433 -> 476 Mrays/s on dielectric.toml (CM
+        # job; the round-3 'rows 24/32' sm rows were phantoms — the old
+        # defaults silently reduced them to 16).  Without scratch (big
+        # prim counts) 24 measured no better than 16 — keep 16 there.
+        rows = 24 if 9 * n_pr * 24 * 128 * 4 <= (2 << 20) else 16
+    elif n_pr > 4 and rows > 24:
+        # rows=32 compiles for the 3-sphere headline but OOMs scoped VMEM
+        # at 7 primitives even without dielectrics (CD job: 18.5 MB > 16
+        # on dielectric.toml under the mg personality) — the reverse live
+        # ranges grow with the per-prim accumulators; cap mid-size scenes
+        rows = 24
     scratch_ok = 9 * n_pr * rows * 128 * 4 <= (2 << 20)
     tune = (("acc_scratch",) if scratch_ok else ("acc_outside",))
     tune += ("fwd_dense",)
