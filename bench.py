@@ -226,6 +226,11 @@ def main():
     # Same-session forward-only reference row: the chip's absolute rate
     # swings ±25% across sessions (memory: tpu-bench-variance), so the
     # step/forward RATIO is the number that is comparable across rounds.
+    # The two measurements are INTERLEAVED window-by-window: even minutes
+    # apart in one process the chip state drifts enough to invert the
+    # ratio (round-4 CO job: fwd 647 -> 496 Mrays/s while the step went
+    # 575 -> 735 in the same session) — alternating windows samples the
+    # same state for both sides.
     fwd_ref = ratio_step_over_fwd = None
     if use_fused and not args.quick:
         try:
@@ -234,10 +239,26 @@ def main():
             _fwd = make_render_step(scene, size, spp=spp,
                                     max_bounces=max_bounces)
             jax.block_until_ready(_fwd(0))
-            fstats = sustained(lambda i: _fwd(i), iters=iters, windows=9)
-            fwd_ref = rate(fstats["median"])
+
+            def _window(fn):
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    out = fn(i)
+                jax.block_until_ready(out)
+                return (time.perf_counter() - t0) / iters
+
+            _window(_fwd)  # warm-up
+            f_ws, s_ws = [], []
+            for _ in range(9):
+                s_ws.append(_window(lambda i: fwd_bwd(params, i)[1]))
+                f_ws.append(_window(_fwd))
+            f_ws.sort()
+            s_ws.sort()
+            f_med = f_ws[len(f_ws) // 2]
+            s_med = s_ws[len(s_ws) // 2]
+            fwd_ref = rate(f_med)
             # step time / forward time (~1.5 in round 3; lower is better)
-            ratio_step_over_fwd = secs / fstats["median"]
+            ratio_step_over_fwd = s_med / f_med
         except Exception:
             pass
 
