@@ -321,10 +321,10 @@ def main():
                      f"{960*540*2/t/1e6:.1f} Mrays/s ({t*1e3:.0f} ms/step)"))
     rows.append(("5: END-TO-END frame — 3840x2160 @256spp d8, 5000 spheres",
                  "STATIC one-off measurement (not re-run by this script): "
-                 "rendered once on device round 3, 800.6 s wall (2.7 Mrays/s, "
-                 "0.02 G ray-bounces/s); preview committed at "
-                 "docs/config5_4k_preview.png — rerun with tools/tpu_worker "
-                 "job BA_4kframe to reproduce"))
+                 "627.7 s wall via the wavefront pipeline (3.4 Mrays/s; "
+                 "round-3 blockwise: 800.6 s = 1.28x); preview committed "
+                 "at docs/config5_4k_preview.png — rerun with "
+                 "tools/tpu_worker job CP_4kframe to reproduce"))
 
     md = ["# BENCH_TABLE — measured on the attached TPU chip", "",
           "| Config | Result |", "|---|---|"]
