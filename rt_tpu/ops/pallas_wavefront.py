@@ -70,6 +70,12 @@ kernel at ~306-316 ms):
     overhead on dead tiles is what the bucketed shrink attacks; the
     in-kernel any-live lax.cond alone cannot remove it.
 
+Forward/serving only (like the pixel-major kernel): config-5 TRAINING
+steps keep the blockwise fused fwd+bwd kernels — a wavefront backward
+would need the per-bounce ray permutations recorded (or re-sorted) in
+reverse, which is future work; the forward win already carries the
+serving path (the 4K config-5 frame: 800.6 s -> 627.7 s, job CP).
+
 State row layout (f32):
   0-2  origin        3-5  direction      6-8  throughput
   9-11 radiance acc  12   live flag      13   pixel index
@@ -103,7 +109,9 @@ from .pallas_blockwise import (
     blockwise_supported,
 )
 
-__all__ = ["render_forward_wavefront", "wavefront_supported"]
+__all__ = ["render_forward_wavefront",
+           "render_forward_wavefront_sharded",
+           "wavefront_supported"]
 
 
 def wavefront_supported(scene, include_boxes: bool = False) -> bool:
@@ -153,8 +161,9 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
     sub-tile wraps its scan in its own any-live lax.cond, so a sorted
     dead suffix still skips in 128-ray quanta.
 
-    meta (SMEM int32): [seed, n_spheres, n_planes, bounce_b, n_rays].
-    cam (SMEM f32): as pallas_blockwise (only used when ``gen``).
+    meta (SMEM int32): [seed, n_spheres, n_planes, bounce_b, n_rays,
+    ray_offset].  cam (SMEM f32): as pallas_blockwise (only used when
+    ``gen``).
     """
     f32 = jnp.float32
     shape = (1, _LANES)
@@ -181,7 +190,11 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
             if gen:
                 tile = pl.program_id(0)
                 lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-                idx = (tile * wf_rows + r_sub) * _LANES + lane
+                # meta[5]: global ray offset (sharded entry point — each
+                # device owns a contiguous ray range; ids stay globally
+                # unique so per-ray hash streams match the unsharded run)
+                idx = ((tile * wf_rows + r_sub) * _LANES + lane
+                       + meta_ref[5])
                 pix = idx % n_pix
                 smp = idx // n_pix
                 live0 = (idx < meta_ref[4]).astype(f32)  # meta[4] = n_rays
@@ -621,3 +634,216 @@ def _wf_meta_rows(scene, seed: int, n_chunks: int) -> jnp.ndarray:
                       0, 0, 0, 0, 0])
         chunk_seed = int((chunk_seed * 1103515245 + 12345) % (2**31 - 1))
     return jnp.asarray(metas, jnp.int32)
+
+
+def render_forward_wavefront_sharded(
+    scene,
+    size: tuple[int, int],
+    mesh,
+    seed: int = 0,
+    *,
+    axis: str = "rays",
+    personality: str = "mg",
+    spp: Optional[int] = None,
+    max_bounces: Optional[int] = None,
+    spp_chunk: int = 4,
+    gamma: bool = True,
+    rng_mode: str = "reference",
+    center_sample: Optional[bool] = None,
+    interpret: bool = False,
+    block: Optional[int] = None,
+    cull: Optional[bool] = None,
+    cull_gen: Optional[bool] = None,
+    order: Optional[str] = None,
+    sort_schedule: Optional[tuple] = None,
+    sort_mode: str = "variadic",
+    cell_bits: int = 2,
+    wf_rows: int = 4,
+    cull_group: Optional[int] = None,
+    shrink_at: Optional[int] = -1,
+    **_unused,
+) -> jax.Array:
+    """Wavefront frame sharded over ``mesh[axis]`` (H, W, 3) f32.
+
+    Each device owns a CONTIGUOUS global ray range (the thread_pool
+    for_range analogue, mg_ray_tracer.cpp:203-204) and runs its own
+    complete wavefront — local compaction sorts, local bucketed shrink
+    (lax.switch on a device-local live count: devices whose rays die
+    early shrink independently of the others).  Hash draws are keyed by
+    GLOBAL ray ids (meta ray_offset), so the frame is bit-identical to
+    the unsharded wavefront regardless of device count; tables and
+    camera are replicated, and the framebuffer assembles via the
+    out-spec all-gather of per-shard contiguous ray blocks.
+    """
+    from ..dist import _SMAP_NOCHECK, shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if not wavefront_supported(scene):
+        raise ValueError("scene exceeds the wavefront kernel limits")
+    w, h = size
+    n_pix = w * h
+    if spp is None:
+        spp = scene.samples_per_pixel
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    spp_chunk = max(1, min(spp_chunk, spp))
+    if n_pix * spp_chunk > (1 << 24):
+        spp_chunk = max(1, (1 << 24) // n_pix)
+    if n_pix > (1 << 24):
+        raise ValueError("frame too large for exact f32 pixel ids")
+
+    s_cols, p_cols = _flatten_primitives(scene, personality)
+    s_pad = _bucket(scene.spheres.count)
+    p_pad = _bucket(scene.planes.count)
+    if block is None:
+        block = _BLOCK if max(s_pad, p_pad) <= 128 else 128
+    if cull is None:
+        cull = s_pad >= 512 and s_pad // block <= 128
+    if cull_group is None and cull:
+        nb = s_pad // block
+        cull_group = next(g for g in (4, 2, 1) if nb % g == 0)
+    elif cull_group is None:
+        cull_group = _auto_cull_group(s_pad, block)
+    cull_gen_b = bool(cull) if cull_gen is None else bool(cull_gen)
+    if order is None:
+        order = "morton" if (cull and scene.spheres.count > 1) else "index"
+    if sort_schedule is None:
+        sort_schedule = tuple(b for b in (1, 2, 5) if b < max_bounces)
+    if shrink_at == -1:
+        cands = [b for b in sort_schedule if b >= 2]
+        shrink_at = cands[0] if cands else None
+    if shrink_at is not None and shrink_at not in sort_schedule:
+        raise ValueError("shrink_at must name a bounce in sort_schedule")
+    gidx = None
+    if order == "morton":
+        perm = _morton_perm(s_cols)
+        s_cols = s_cols[:, perm]
+        gidx = perm
+    s_tab = jnp.asarray(_padded_table(s_cols, s_pad, gidx))
+    p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
+
+    n_dev = mesh.shape[axis]
+    span = wf_rows * _LANES
+    chunk_sizes = []
+    remaining = spp
+    while remaining > 0:
+        k = min(spp_chunk, remaining)
+        chunk_sizes.append(k)
+        remaining -= k
+    center_first = True if center_sample is None else center_sample
+
+    def calls_for(k, center):
+        n_rays = n_pix * k
+        local_tiles = -(-(-(-n_rays // span)) // n_dev)
+        common = dict(width=w, height=h, s_pad=s_pad, p_pad=p_pad,
+                      max_bounces=max_bounces, rng_mode=rng_mode,
+                      block=block, cull_group=cull_group,
+                      interpret=interpret, wf_rows=wf_rows, dbg=())
+        gen = _compiled_wf_call(center_sample=center, gen=True,
+                                n_tiles=local_tiles, cull=cull_gen_b,
+                                **common)
+        stepc = {
+            nt: _compiled_wf_call(center_sample=center, gen=False,
+                                  n_tiles=nt, cull=cull, **common)
+            for nt in {local_tiles, max(1, local_tiles // 4),
+                       max(1, local_tiles // 16)}
+        }
+        return gen, stepc, n_rays, local_tiles
+
+    calls = [calls_for(k, (ci == 0 and center_first))
+             for ci, k in enumerate(chunk_sizes)]
+
+    def shard_chunk(ci, k, gen, stepc, n_rays, local_tiles, metas, cam_,
+                    s_tab_, p_tab_):
+        aux = ((_block_bounds(s_tab_, block),
+                _seed_table(s_tab_, block)) if cull else ())
+        off = (jax.lax.axis_index(axis).astype(jnp.int32)
+               * jnp.int32(local_tiles * span))
+        meta_g = metas[ci].at[4].set(n_rays).at[5].set(off)
+        aux_g = aux if cull_gen_b else ()
+        state = gen(meta_g, cam_, s_tab_, p_tab_, *aux_g)
+
+        def run_bounce(st, b, nt):
+            meta_b = metas[ci].at[3].set(b)
+            return stepc[nt](meta_b, cam_, s_tab_, p_tab_, *aux, st)
+
+        b = 1
+        while b < max_bounces:
+            if b in sort_schedule:
+                state = _sort_state(state, cell_bits, sort_mode)
+                if b == shrink_at:
+                    break
+            state = run_bounce(state, b, local_tiles)
+            b += 1
+        if b < max_bounces:
+            n_live = jnp.sum((state[12] > 0.0).astype(jnp.int32))
+            bucket_tiles = [local_tiles, max(1, local_tiles // 4),
+                            max(1, local_tiles // 16)]
+
+            def make_tail(nt, b0=b):
+                w_sub = nt * span
+
+                def tail(st):
+                    sub = st[:, :w_sub] if w_sub < st.shape[1] else st
+                    for bb in range(b0, max_bounces):
+                        if bb in sort_schedule and bb != b0:
+                            sub = _sort_state(sub, cell_bits, sort_mode)
+                        sub = run_bounce(sub, bb, nt)
+                    if w_sub < st.shape[1]:
+                        sub = jnp.concatenate([sub, st[:, w_sub:]], axis=1)
+                    return sub
+
+                return tail
+
+            idx = jnp.where(
+                n_live <= bucket_tiles[2] * span, 2,
+                jnp.where(n_live <= bucket_tiles[1] * span, 1, 0))
+            state = jax.lax.switch(
+                idx, [make_tail(nt) for nt in bucket_tiles], state)
+
+        # local assembly: each shard owns the contiguous global ray range
+        # [off, off + local_tiles*span); ascending ray_id order within the
+        # shard == global position order, so the out-spec concatenation
+        # yields the full-frame ray-ordered radiance
+        ray_id = (state[14] * jnp.float32(n_pix) + state[13])
+        out = jax.lax.sort((ray_id, state[9], state[10], state[11]),
+                           num_keys=1, is_stable=True)
+        return jnp.stack(out[1:], axis=-1)  # (local_rays, 3)
+
+    @jax.jit
+    def run(metas, cam_, s_tab_, p_tab_):
+        total = None
+        for ci, (k, (gen, stepc, n_rays, local_tiles)) in enumerate(
+                zip(chunk_sizes, calls)):
+            sharded = shard_map(
+                functools.partial(shard_chunk, ci, k, gen, stepc, n_rays,
+                                  local_tiles),
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P()),
+                out_specs=P(axis),
+                **_SMAP_NOCHECK,
+            )
+            flat = sharded(metas, cam_, s_tab_, p_tab_)  # (n_dev*local, 3)
+            chans = []
+            for c in range(3):
+                v = flat[:, c]
+                acc = v[0:n_pix]
+                for sm in range(1, k):
+                    acc = acc + v[sm * n_pix:(sm + 1) * n_pix]
+                chans.append(acc)
+            chunk_img = jnp.stack(chans, axis=-1)
+            total = chunk_img if total is None else total + chunk_img
+        img = total * jnp.float32(1.0 / spp)
+        if gamma:
+            img = jnp.sqrt(jnp.maximum(img, 0.0))
+        return img.reshape(h, w, 3)
+
+    cam = jnp.concatenate([
+        jnp.asarray(scene.camera.position, jnp.float32),
+        jnp.asarray(scene.camera.rotation, jnp.float32).reshape(-1),
+        jnp.asarray([
+            np.tan(scene.camera.vfov * 0.5), w / h, scene.camera.near, 0.0
+        ], jnp.float32),
+    ])
+    metas = _wf_meta_rows(scene, seed, len(chunk_sizes))
+    return run(metas, cam, s_tab, p_tab)

@@ -147,3 +147,21 @@ def test_registry_and_auto_route():
     route_small, _ = reg.auto_route(small, "tpu")
     assert route_big == "wavefront"
     assert route_small in ("blockwise", "pallas")
+
+
+def test_sharded_bit_identical_to_unsharded():
+    """Per-device wavefronts with global ray ids: the sharded frame must
+    be bit-identical to the unsharded one on every mesh layout (draws are
+    keyed by global ray id; each shard compacts/shrinks independently)."""
+    import jax
+    from rt_tpu import dist
+    from rt_tpu.ops.pallas_wavefront import render_forward_wavefront_sharded
+
+    sc = make_procedural_scene(600, spp=2, max_bounces=6)
+    kw = dict(spp=2, max_bounces=6, seed=3, interpret=True)
+    ref = _wf(sc, (64, 48), **kw)
+    for n in (2, 8):
+        mesh = dist.make_mesh(n, 1, devices=jax.devices()[:n])
+        img = np.asarray(render_forward_wavefront_sharded(
+            sc, (64, 48), mesh, **kw))
+        np.testing.assert_array_equal(ref, img)
