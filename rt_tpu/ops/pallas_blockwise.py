@@ -242,7 +242,8 @@ def _seed_table(s_tab: jax.Array, block: int) -> jax.Array:
 
 
 def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
-                 mxu, cull, cull_group, rng_mode, skip_cond, dbg=()):
+                 mxu, cull, cull_group, rng_mode, skip_cond, dbg=(),
+                 extract_window=0):
     """ONE path-tracing bounce for a 128-lane ray tile: blockwise
     closest-hit scan (payload / lean / culled / MXU variants) + sky on
     miss + lambert/metal/dielectric scatter (mg_ray_tracer.cpp:109-174,
@@ -641,21 +642,54 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
         # Mosaic iota must be integer-typed; bidx is a small
         # exact integer in f32, so the int cast is lossless
         bidx_i = bidxf.astype(jnp.int32)
-        s_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (s_pad, _LANES), 0)
+        sph_win = hitb & (isplf == 0.0)
+
+        def full_sphere_extract(_):
+            s_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (s_pad, _LANES), 0)
+            s_oh = ((s_iota == bidx_i) & sph_win).astype(f32)
+            if mxu:
+                return _dot(sph_ref[...], s_oh, (((1,), (0,)), ((), ())))
+            return _dot(sph_ref[...], s_oh, (((0,), (0,)), ((), ())))
+
+        W = extract_window
+        if W and s_pad > W and not mxu:
+            # Windowed winner fetch: on coherent (sorted) tiles the
+            # lane winners cluster in a small table range — one-hot over
+            # a dynamically-sliced W-row window instead of the whole
+            # table (the full one-hot build + K=s_pad contraction is
+            # O(s_pad x 128) per sub-tile per bounce, ~10% of a full
+            # scan).  EXACT: the windowed contraction accumulates the
+            # identical nonzero terms, and lanes outside the window
+            # trigger the full fallback via the cond.
+            wrow = jnp.where(sph_win, bidxf, f32(3e38))
+            start_f = jnp.min(wrow)
+            start_i = jnp.where(start_f < f32(3e38), start_f,
+                                f32(0.0)).astype(jnp.int32)
+            start_i = jnp.minimum((start_i // 8) * 8,
+                                  jnp.int32(s_pad - W))
+            rel = bidx_i - start_i
+            in_win = (rel >= 0) & (rel < W)
+            all_in = jnp.sum((sph_win & ~in_win).astype(f32)) == 0.0
+
+            def win_extract(_):
+                blk = sph_ref[pl.ds(start_i, W), :]
+                w_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (W, _LANES), 0)
+                s_oh = ((w_iota == rel) & sph_win).astype(f32)
+                return _dot(blk, s_oh, (((0,), (0,)), ((), ())))
+
+            s_pay = jax.lax.cond(all_in, win_extract,
+                                 full_sphere_extract, None)
+        else:
+            s_pay = full_sphere_extract(None)
         p_iota = jax.lax.broadcasted_iota(
             jnp.int32, (p_pad, _LANES), 0)
-        s_oh = ((s_iota == bidx_i) & hitb
-                & (isplf == 0.0)).astype(f32)
         p_oh = ((p_iota == bidx_i) & (isplf > 0.0)).astype(f32)
         if mxu:
-            s_pay = _dot(sph_ref[...], s_oh,
-                         (((1,), (0,)), ((), ())))
             p_pay = _dot(pln_ref[...], p_oh,
                          (((1,), (0,)), ((), ())))
         else:
-            s_pay = _dot(sph_ref[...], s_oh,
-                         (((0,), (0,)), ((), ())))
             p_pay = _dot(pln_ref[...], p_oh,
                          (((0,), (0,)), ((), ())))
         pick = lambda pay, c: pay[c:c + 1]

@@ -143,7 +143,7 @@ def _hash_u01_dyn(pix, seed, ctr, shape):
 
 def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                     center_sample, gen, block, cull, cull_group, wf_rows,
-                    dbg=()):
+                    dbg=(), extract_window=0):
     """Wavefront kernel body.
 
     ``gen=True``: raygen + bounce 0.  No state input; pixel/sample ids
@@ -273,7 +273,8 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                     u01,
                     s_pad=s_pad, p_pad=p_pad, block=block, scan="lean",
                     mxu=False, cull=cull, cull_group=cull_group,
-                    rng_mode=rng_mode, skip_cond=not gen, dbg=dbg)
+                    rng_mode=rng_mode, skip_cond=not gen, dbg=dbg,
+                    extract_window=extract_window)
             acc = [acc[c] + contrib[c] for c in range(3)]
 
             out_ref[0:1, sl] = ox
@@ -299,12 +300,13 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
 @functools.lru_cache(maxsize=32)
 def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                       center_sample, gen, block, cull, cull_group, n_tiles,
-                      interpret, wf_rows, dbg=()):
+                      interpret, wf_rows, dbg=(), extract_window=0):
     kernel = _make_wf_kernel(
         width=width, height=height, s_pad=s_pad, p_pad=p_pad,
         max_bounces=max_bounces, rng_mode=rng_mode,
         center_sample=center_sample, gen=gen, block=block, cull=cull,
         cull_group=cull_group, wf_rows=wf_rows, dbg=dbg,
+        extract_window=extract_window,
     )
     span = wf_rows * _LANES
     in_specs = [
@@ -375,7 +377,8 @@ def _sort_state(state, cell_bits: int, sort_mode: str):
 def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                        max_bounces, rng_mode, gamma, center_first, interpret,
                        block, cull, cull_gen, cull_group, sort_schedule,
-                       sort_mode, cell_bits, wf_rows, shrink_at, dbg=()):
+                       sort_mode, cell_bits, wf_rows, shrink_at, dbg=(),
+                       extract_window=0):
     """Jitted frame: per chunk, gen kernel (raygen + bounce 0), then one
     bounce kernel per remaining bounce with sort/compaction between the
     bounces named in ``sort_schedule``; per-ray radiance is re-ordered
@@ -406,7 +409,8 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
         common = dict(width=width, height=height, s_pad=s_pad, p_pad=p_pad,
                       max_bounces=max_bounces, rng_mode=rng_mode,
                       block=block, cull=cull, cull_group=cull_group,
-                      interpret=interpret, wf_rows=wf_rows, dbg=dbg)
+                      interpret=interpret, wf_rows=wf_rows, dbg=dbg,
+                      extract_window=extract_window)
         gen = _compiled_wf_call(center_sample=center, gen=True,
                                 n_tiles=n_tiles,
                                 **{**common, "cull": cull_gen})
@@ -520,6 +524,7 @@ def render_forward_wavefront(
     cull_group: Optional[int] = None,
     cull_gen: Optional[bool] = None,
     shrink_at: Optional[int] = -1,
+    extract_window: Optional[int] = None,
     dbg: tuple = (),
     include_boxes: bool = False,
     **_unused,
@@ -609,6 +614,8 @@ def render_forward_wavefront(
         sort_schedule=tuple(sort_schedule), sort_mode=sort_mode,
         cell_bits=cell_bits, wf_rows=wf_rows, dbg=tuple(dbg),
         shrink_at=shrink_at,
+        extract_window=(512 if extract_window is None and s_pad > 512
+                        else (extract_window or 0)),
     )
 
     cam = jnp.concatenate([
@@ -738,7 +745,8 @@ def render_forward_wavefront_sharded(
         common = dict(width=w, height=h, s_pad=s_pad, p_pad=p_pad,
                       max_bounces=max_bounces, rng_mode=rng_mode,
                       block=block, cull_group=cull_group,
-                      interpret=interpret, wf_rows=wf_rows, dbg=())
+                      interpret=interpret, wf_rows=wf_rows, dbg=(),
+                      extract_window=(512 if s_pad > 512 else 0))
         gen = _compiled_wf_call(center_sample=center, gen=True,
                                 n_tiles=local_tiles, cull=cull_gen_b,
                                 **common)
