@@ -56,6 +56,7 @@ kernel at ~306-316 ms):
     + cull_group=4 (finer grouped cull, sorted tiles)      219    1.40x
     + bucketed shrink @3 (sort 1,3,5)                      212    1.49x
     + shrink @2 (sort 1,2,5 — the default)                 194    1.62x
+    + windowed winner extract (256 rows, the default)      179    1.76x
     ====================================================  ======  =====
 
     Negative results kept deliberately: sorting EVERY bounce loses
@@ -614,7 +615,7 @@ def render_forward_wavefront(
         sort_schedule=tuple(sort_schedule), sort_mode=sort_mode,
         cell_bits=cell_bits, wf_rows=wf_rows, dbg=tuple(dbg),
         shrink_at=shrink_at,
-        extract_window=(512 if extract_window is None and s_pad > 512
+        extract_window=(256 if extract_window is None and s_pad > 512
                         else (extract_window or 0)),
     )
 
@@ -746,7 +747,7 @@ def render_forward_wavefront_sharded(
                       max_bounces=max_bounces, rng_mode=rng_mode,
                       block=block, cull_group=cull_group,
                       interpret=interpret, wf_rows=wf_rows, dbg=(),
-                      extract_window=(512 if s_pad > 512 else 0))
+                      extract_window=(256 if s_pad > 512 else 0))
         gen = _compiled_wf_call(center_sample=center, gen=True,
                                 n_tiles=local_tiles, cull=cull_gen_b,
                                 **common)
