@@ -1250,6 +1250,8 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
     recompute_u = "recompute_u" in tune
     assert not recompute_u or (rng_impl == "hash" and lean), \
         "recompute_u requires the counter-based hash RNG and the lean stash"
+    slim = "slim_stash" in tune
+    assert not slim or lean, "slim_stash requires the lean stash"
     n_spheres = s_cols.shape[1]
     n_planes = p_cols.shape[1]
     f32 = jnp.float32
@@ -1322,6 +1324,7 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
         # ------------- phase 1: forward sweeps, all samples ---------------
         img = [zero, zero, zero]
         sample_stash = []   # per sample: list of per-bounce dicts
+        sample_o0 = []      # slim: raygen origin per sample (chain seed)
         raygen_vjps = []
         for s in range(spp):
             seed_cur[0] = s
@@ -1356,6 +1359,8 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
             rays, rvjp = jax.vjp(raygen, tuple(cam))
             raygen_vjps.append(rvjp)
             ox, oy, oz, dx, dy, dz = rays
+            if slim:
+                sample_o0.append((ox, oy, oz))
 
             tr = one
             tg = one
@@ -1429,6 +1434,19 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                             packed = packed | jnp.where(bits[name],
                                                         jnp.int32(1 << k),
                                                         jnp.int32(0))
+                        if slim:
+                            # winner index rides the bits word (<=640 prims
+                            # fit bits 16..25) and the live hit distance tau
+                            # replaces the 3-array origin stash: the reverse
+                            # sweep reconstructs o[b] = o[b+1] - tau*d[b]
+                            # (exact when tau==0; <=1 ulp otherwise), so the
+                            # per-(bounce,sample) stash drops 11 -> 8 live
+                            # arrays — the VMEM that unlocks taller
+                            # dielectric tiles.
+                            packed = packed | (
+                                bidx.astype(jnp.int32) << jnp.int32(16))
+                            tau = jnp.where(bits["live_h"], best_t, 0.0)
+                            return state + (packed, tau)
                         return state + (packed, bidx)
                     return (state + pay + (bidx, bpl)
                             + tuple(bits[nm] for nm in _BITS))
@@ -1450,7 +1468,17 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                 thr_prev = (tr, tg, tb)
                 (ox, oy, oz, dx, dy, dz, tr, tg, tb, live,
                  img[0], img[1], img[2]) = out[:13]
-                if lean:
+                if lean and slim:
+                    ent = dict(
+                        d=d_prev, thr=thr_prev,
+                        packed=out[13], tau=out[14], anyl=anyl)
+                    if recompute_u:
+                        ent["useed"] = seed_ref[s]
+                        ent["uctr"] = 3 + 4 * b
+                    else:
+                        ent["u"] = (ux, uy, uz)
+                    stash.append(ent)
+                elif lean:
                     ent = dict(
                         o=o_prev, d=d_prev, thr=thr_prev,
                         packed=out[13], bidx=out[14], anyl=anyl)
@@ -1503,8 +1531,30 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
             co = [zero, zero, zero]
             cd = [zero, zero, zero]
             ct = [zero, zero, zero]
+            if slim:
+                # replay the origin chain FORWARD from the raygen origin:
+                # o[b+1] = o[b] + tau[b]*d[b] is the identical fp expression
+                # the forward sweep evaluated (tau = live_h ? best_t : 0
+                # folds the live-select into the advance), so every o[b] is
+                # BIT-EXACT — no reconstruction tolerance.  The replayed
+                # origins live only through this sample's reverse sweep,
+                # which is what frees the 3 origin stash arrays per
+                # (bounce, sample) across the phase-1 -> phase-3 span.
+                o_cur = tuple(sample_o0[s])
+                o_chain = [o_cur]
+                for bb in range(max_bounces - 1):
+                    stb = stash[bb]
+                    o_cur = (o_cur[0] + stb["tau"] * stb["d"][0],
+                             o_cur[1] + stb["tau"] * stb["d"][1],
+                             o_cur[2] + stb["tau"] * stb["d"][2])
+                    o_chain.append(o_cur)
             for b in reversed(range(max_bounces)):
                 st = stash[b]
+                if slim:
+                    st = dict(st)
+                    st["o"] = o_chain[b]
+                    st["bidx"] = ((st["packed"] >> jnp.int32(16))
+                                  & jnp.int32(1023)).astype(f32)
 
                 def rebuild_vjp(co, cd, ct, st=st, rad_only=False):
                     """Payload rebuild (lean) + smooth-map vjp transpose.
@@ -1735,8 +1785,11 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
             anchor = zero
             for s in range(spp):
                 for st in sample_stash[s]:
-                    anchor = anchor + st["packed"].astype(f32) + st["bidx"]
-                    arrs = [st["o"], st["d"], st["thr"]]
+                    anchor = anchor + st["packed"].astype(f32)
+                    anchor = anchor + (st["tau"] if slim else st["bidx"])
+                    arrs = [st["d"], st["thr"]]
+                    if not slim:
+                        arrs.append(st["o"])
                     if "u" in st:  # absent under recompute_u
                         arrs.append(st["u"])
                     for a3 in arrs:
@@ -1859,6 +1912,20 @@ def _compiled_grad(scene_bytes, shapes, *, width, height, max_bounces, rows,
     return call
 
 
+def _stash_arrays(lean, rng_impl, tune):
+    """Live stash arrays per (bounce, sample) for the mono VMEM gate:
+    41 full payload; lean 14; recompute_u drops the 3 scatter-u arrays;
+    slim_stash drops the 3 origin arrays + the winner-id array for a tau
+    array (net -3).  ``tune=None`` means the _default_tune layout (hash RNG
+    gets both reductions)."""
+    if not lean:
+        return 41
+    if tune is not None:
+        return (14 - (3 if "recompute_u" in tune else 0)
+                - (3 if "slim_stash" in tune else 0))
+    return 8 if rng_impl == "hash" else 14
+
+
 def _default_tune(s_cols, p_cols, rows, rng_impl, mode, lean):
     """Measured round-3 tune defaults (v5e-1, headline shape; see
     _make_mono_kernel's tune docstring for the cost splits).  Returns
@@ -1889,7 +1956,13 @@ def _default_tune(s_cols, p_cols, rows, rng_impl, mode, lean):
     tune = (("acc_scratch",) if scratch_ok else ("acc_outside",))
     tune += ("fwd_dense",)
     if rng_impl == "hash":
-        tune += ("recompute_u",)
+        # slim_stash: tau-for-origin + winner-id-in-bits-word (11 -> 8 live
+        # stash arrays per bounce-sample, bit-exact — the reverse replays
+        # the origin chain forward).  Measured perf-neutral on the headline
+        # shapes (round-4 CR job); its value is the VMEM headroom that lets
+        # the mono kernel keep spp=16 steps (config 2's specified spp) out
+        # of the slower per-sample pipeline.
+        tune += ("recompute_u", "slim_stash")
     if p_cols.shape[1] == 0 and s_cols.shape[1] > 0:
         # hand-fused reverse bounce for sphere-only scenes, all material
         # classes (matches jax.vjp to float eps; measured 705 -> 734
@@ -1953,7 +2026,7 @@ def pallas_mse_loss_and_grad(
         # the mono VMEM stash is (arrays/bounce) x rows x 128 x bounces x
         # spp; past ~11 MiB of the 16 MiB scoped-VMEM budget Mosaic OOMs —
         # high-spp steps run the per-sample pipeline instead
-        stash_mb = ((14 if lean else 41) * rows * 128 * 4
+        stash_mb = (_stash_arrays(lean, rng_impl, tune) * rows * 128 * 4
                     * max_bounces * spp / 2**20)
         if stash_mb > 11.0:
             mode = "multi"
@@ -2062,7 +2135,7 @@ def make_mse_step(
         # the mono VMEM stash is (arrays/bounce) x rows x 128 x bounces x
         # spp; past ~11 MiB of the 16 MiB scoped-VMEM budget Mosaic OOMs —
         # high-spp steps run the per-sample pipeline instead
-        stash_mb = ((14 if lean else 41) * rows * 128 * 4
+        stash_mb = (_stash_arrays(lean, rng_impl, tune) * rows * 128 * 4
                     * max_bounces * spp / 2**20)
         if stash_mb > 11.0:
             mode = "multi"

@@ -283,6 +283,35 @@ def test_interpret_mono_eager_residuals_match():
                                    atol=1e-6, err_msg=k)
 
 
+def test_interpret_mono_slim_stash_bit_exact():
+    # "slim_stash": the winner index rides the packed bits word and the
+    # per-bounce origin stash is replaced by tau = live_h ? best_t : 0,
+    # with the reverse sweep REPLAYING the origin chain forward from the
+    # raygen origin (the identical fp expressions the forward evaluated) —
+    # losses and gradients must be BIT-equal to the standard lean stash,
+    # on both personalities (dielectric bits share the packed word)
+    from rt_tpu import diff
+    from rt_tpu.ops.pallas_grad import pallas_mse_loss_and_grad
+
+    for path, pers in (("/root/reference/scenes/basic.toml", "mg"),
+                       ("/root/reference/scenes/dielectric.toml", "sm")):
+        s = rt_tpu.load(path)
+        size, spp, B = (32, 24), 2, 3
+        params = diff.extract_params(s)
+        target = jnp.zeros((size[1], size[0], 3), jnp.float32)
+        base = ("acc_scratch", "fwd_dense", "recompute_u", "hand_rev")
+        kw = dict(seed=5, spp=spp, max_bounces=B, rows=8, rng_impl="hash",
+                  interpret=True, mode="mono", personality=pers)
+        l0, g0 = pallas_mse_loss_and_grad(params, s, target, size,
+                                          tune=base, **kw)
+        l1, g1 = pallas_mse_loss_and_grad(params, s, target, size,
+                                          tune=base + ("slim_stash",), **kw)
+        assert float(l0) == float(l1)
+        for k in g0:
+            np.testing.assert_array_equal(np.asarray(g0[k]),
+                                          np.asarray(g1[k]), err_msg=k)
+
+
 def test_interpret_fused_grad_dielectric_personality():
     # sm personality on dielectric.toml exercises the has_die branch of the
     # class-presence specialization (Fresnel/refraction + its transpose)
