@@ -93,6 +93,36 @@ defined on):
     IOR as payload constants was evaluated and rejected: the winner-
     select costs (+2 ops x n_prims per bounce-sample) cancel the saved
     divides.
+
+Round-4 sm/mg CONTROLLED DECOMPOSITION (CU job, one session, interleaved
+windows; the ratio-defining BASELINE rows compare DIFFERENT scenes, so the
+gap was split with the 2x2 personality-x-scene matrix — mg personality on
+dielectric.toml runs the same 7-sphere scan with lambert/metal physics,
+mg_ray_tracer.cpp:142-152 routes every non-metal material to lambert):
+
+    ==========================================  ========  =============
+    configuration                                ms/step   vs mg_basic
+    ==========================================  ========  =============
+    mg on basic.toml (3 spheres)                  2.732       1.000
+    mg on dielectric.toml (7 spheres)             3.222       1.180  <- scene tax
+    sm on dielectric.toml (7 spheres)             4.020       1.472
+    ==========================================  ========  =============
+
+    BASELINE-row ratio sm/mg = 0.68 = 1 / (scene_tax 1.18 x diel_tax
+    1.248).  The matched-scene ratio (sm vs mg on the SAME 7-sphere
+    scene) is 0.80: the dielectric personality itself costs 1.25x, and
+    the remaining 1.18x is the 7-vs-3-sphere linear scan + 7-vs-3
+    per-primitive accumulators — the reference's own algorithm scales
+    the same way (linear closest-hit, mg_ray_tracer.cpp:70-79).  Round-4
+    attempts on the remaining dielectric tax, all measured same-session
+    and all NEGATIVE (kept for the record): hw-PRNG forward + stashed u
+    instead of hash+recompute_u (4.22 vs 4.12 ms — the hash recompute is
+    cheaper than the extra stash I/O), rev_dense (4.72 ms: the reverse
+    early-out cond WINS even on glass scenes — late bounces still go
+    dead in enough tiles), slim_stash at rows=24 (neutral: stash I/O is
+    not the dielectric bottleneck), and rows=32 via slim_stash with
+    scratch OR outside accumulators (scoped-VMEM OOM in every layout —
+    the dielectric reverse's live-range peak, not the stash, binds).
 """
 
 from __future__ import annotations
@@ -1203,7 +1233,7 @@ def _decisions(best_t, pay, bpl, broot, bcl, o3, d3, lv, u3, coin,
 
 def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                       rows, rng_mode, rng_impl, lean, residuals="recompute",
-                      dbg=(), tune=()):
+                      dbg=(), tune=(), cot_input=False, center0=True):
     """One kernel = one full MSE training step over all spp samples.
 
     ``residuals="eager"`` (requires ``lean=False``): take the per-bounce
@@ -1333,7 +1363,11 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                 pltpu.prng_seed(seed_ref[s] + tile * jnp.int32(1000003))
             u = u01()
             v = u01()
-            if s == 0:
+            if s == 0 and center0:
+                # sample 0 at the pixel centre (mg_ray_tracer.cpp:189);
+                # center0=False for spp-chunked pipelines whose chunk does
+                # not start at the global sample 0 (draws are consumed
+                # either way so the stream stays aligned)
                 jx = jnp.full((rows, 128), f32(0.5))
                 jy = jnp.full((rows, 128), f32(0.5))
             else:
@@ -1499,12 +1533,19 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
             sample_stash.append(stash)
 
         # ------------- phase 2: local loss + cotangent --------------------
-        diff = [(img[c] * f32(inv_spp) - tgt_ref[0, c]) * maskf
-                for c in range(3)]
-        loss_ref[0, 0, 0] = jnp.sum(diff[0] * diff[0] + diff[1] * diff[1]
-                                    + diff[2] * diff[2])
-        cot_scale = f32(2.0 / (3.0 * width * height * spp))
-        cot = [d_ * cot_scale for d_ in diff]
+        if cot_input:
+            # spp-chunked pipeline: the pixel cotangent (computed once from
+            # the full-spp forward frame) arrives prescaled in the target
+            # block slot; the chunk contributes no loss of its own
+            loss_ref[0, 0, 0] = f32(0.0)
+            cot = [tgt_ref[0, c] * maskf for c in range(3)]
+        else:
+            diff = [(img[c] * f32(inv_spp) - tgt_ref[0, c]) * maskf
+                    for c in range(3)]
+            loss_ref[0, 0, 0] = jnp.sum(diff[0] * diff[0] + diff[1] * diff[1]
+                                        + diff[2] * diff[2])
+            cot_scale = f32(2.0 / (3.0 * width * height * spp))
+            cot = [d_ * cot_scale for d_ in diff]
 
         # ------------- phase 3: reverse sweeps ----------------------------
         # Per-(slot, primitive) accumulators live in ONE flat list so the
@@ -1819,14 +1860,15 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
 @functools.lru_cache(maxsize=16)
 def _compiled_mono(scene_bytes, shapes, *, width, height, spp, max_bounces,
                    rows, rng_mode, rng_impl, lean, interpret,
-                   residuals="recompute", dbg=(), tune=()):
+                   residuals="recompute", dbg=(), tune=(), cot_input=False,
+                   center0=True):
     s_cols = np.frombuffer(scene_bytes[0], np.float32).reshape(shapes[0])
     p_cols = np.frombuffer(scene_bytes[1], np.float32).reshape(shapes[1])
     kernel = _make_mono_kernel(
         s_cols, p_cols, width=width, height=height, spp=spp,
         max_bounces=max_bounces, rows=rows, rng_mode=rng_mode,
         rng_impl=rng_impl, lean=lean, residuals=residuals, dbg=dbg,
-        tune=tune,
+        tune=tune, cot_input=cot_input, center0=center0,
     )
     n = width * height
     n_tiles = -(-n // (rows * 128))
@@ -1934,7 +1976,7 @@ def _default_tune(s_cols, p_cols, rows, rng_impl, mode, lean):
     scoped-VMEM limit at rows=24 + scratch (round-3 BD job) — and the
     scratch-accumulator check then uses the FINAL rows, so mid-size
     dielectric scenes keep scratch when it fits at the reduced tile."""
-    if mode != "mono" or not lean:
+    if mode not in ("mono", "chunked") or not lean:
         return (), rows
     has_die_l = bool((s_cols[9] == 2.0).any() or (p_cols[9] == 2.0).any())
     n_pr = s_cols.shape[1] + p_cols.shape[1]
@@ -2006,6 +2048,8 @@ def pallas_mse_loss_and_grad(
     from ..diff import apply_params
 
     w, h = size
+    dbg = ()
+    chunk = None
     if max_bounces is None:
         max_bounces = scene.max_bounces
     concrete = apply_params(scene, jax.tree_util.tree_map(jnp.asarray, params))
@@ -2026,10 +2070,45 @@ def pallas_mse_loss_and_grad(
         # the mono VMEM stash is (arrays/bounce) x rows x 128 x bounces x
         # spp; past ~11 MiB of the 16 MiB scoped-VMEM budget Mosaic OOMs —
         # high-spp steps run the per-sample pipeline instead
-        stash_mb = (_stash_arrays(lean, rng_impl, tune) * rows * 128 * 4
-                    * max_bounces * spp / 2**20)
-        if stash_mb > 11.0:
-            mode = "multi"
+        arrays = _stash_arrays(lean, rng_impl, tune)
+        stash_mb = arrays * rows * 128 * 4 * max_bounces * spp / 2**20
+        if stash_mb > 4.2:
+            # shrink the tile before abandoning the mono kernel: at config
+            # 2's 16 spp the rows=8 slim mono step measured 694.7 Mrays/s
+            # vs the per-sample pipeline's 569.9 same-session (CV job);
+            # rows=16 @ 16 spp (8 MB stash) OOMs scoped VMEM while every
+            # measured <=4.2 MB stash layout compiles (rows=32 @ 4 spp,
+            # rows=8 @ 16 spp)
+            for r_try in (24, 16, 8):
+                if r_try < rows and (arrays * r_try * 128 * 4 * max_bounces
+                                     * spp / 2**20) <= 4.2:
+                    rows = r_try
+                    break
+            else:
+                mode = "multi"
+    if mode == "chunked":
+        # EXPLICIT opt-in only (measured negative result, CW job: sm@64spp
+        # chunked 91.4 ms vs the per-sample pipeline's 83.3 same-session).
+        # The cot-input chunks re-run forward sweeps the mono kernel's
+        # in-kernel loss avoids, and the rows<=16 tiling the chunk stash
+        # forces costs more than the saved dispatches — per-kernel launch
+        # overhead inside one jitted program is tiny.  Kept as the
+        # explicitly-callable variant + parity test.
+        assert lean and rng_impl == "hash" and residuals == "recompute", \
+            "chunked needs the lean hash-RNG layout (cross-kernel draws)"
+        arrays = _stash_arrays(lean, rng_impl, tune)
+        for c_try in (16, 8, 4, 2):
+            if spp % c_try:
+                continue
+            for r_try in (16, 8):
+                if (arrays * r_try * 128 * 4 * max_bounces * c_try
+                        / 2**20) <= 4.2:
+                    chunk, rows = c_try, r_try
+                    break
+            if chunk is not None:
+                break
+        if chunk is None:
+            raise ValueError("no chunk layout fits the mono stash budget")
     if not pallas_grad_supported(concrete, lean=lean):
         raise ValueError("scene exceeds the fused grad kernel limits")
 
@@ -2051,6 +2130,11 @@ def pallas_mse_loss_and_grad(
         run = _compiled_pipeline_mono(*key_args, residuals=residuals,
                                       tune=tune, **common)
         target_dev = _target_blocks(target, w, h, rows)
+    elif mode == "chunked":
+        run = _compiled_pipeline_chunked(*key_args, chunk=chunk,
+                                         fwd_rows=fwd_rows, tune=tune,
+                                         **common)
+        target_dev = jnp.asarray(target, jnp.float32)
     else:
         run = _compiled_pipeline(*key_args, fwd_rows=fwd_rows, **common)
         target_dev = jnp.asarray(target, jnp.float32)
@@ -2115,6 +2199,7 @@ def make_mse_step(
     from ..diff import apply_params
 
     w, h = size
+    chunk = None
     if max_bounces is None:
         max_bounces = scene.max_bounces
     concrete = apply_params(scene, jax.tree_util.tree_map(jnp.asarray, params))
@@ -2135,10 +2220,45 @@ def make_mse_step(
         # the mono VMEM stash is (arrays/bounce) x rows x 128 x bounces x
         # spp; past ~11 MiB of the 16 MiB scoped-VMEM budget Mosaic OOMs —
         # high-spp steps run the per-sample pipeline instead
-        stash_mb = (_stash_arrays(lean, rng_impl, tune) * rows * 128 * 4
-                    * max_bounces * spp / 2**20)
-        if stash_mb > 11.0:
-            mode = "multi"
+        arrays = _stash_arrays(lean, rng_impl, tune)
+        stash_mb = arrays * rows * 128 * 4 * max_bounces * spp / 2**20
+        if stash_mb > 4.2:
+            # shrink the tile before abandoning the mono kernel: at config
+            # 2's 16 spp the rows=8 slim mono step measured 694.7 Mrays/s
+            # vs the per-sample pipeline's 569.9 same-session (CV job);
+            # rows=16 @ 16 spp (8 MB stash) OOMs scoped VMEM while every
+            # measured <=4.2 MB stash layout compiles (rows=32 @ 4 spp,
+            # rows=8 @ 16 spp)
+            for r_try in (24, 16, 8):
+                if r_try < rows and (arrays * r_try * 128 * 4 * max_bounces
+                                     * spp / 2**20) <= 4.2:
+                    rows = r_try
+                    break
+            else:
+                mode = "multi"
+    if mode == "chunked":
+        # EXPLICIT opt-in only (measured negative result, CW job: sm@64spp
+        # chunked 91.4 ms vs the per-sample pipeline's 83.3 same-session).
+        # The cot-input chunks re-run forward sweeps the mono kernel's
+        # in-kernel loss avoids, and the rows<=16 tiling the chunk stash
+        # forces costs more than the saved dispatches — per-kernel launch
+        # overhead inside one jitted program is tiny.  Kept as the
+        # explicitly-callable variant + parity test.
+        assert lean and rng_impl == "hash" and residuals == "recompute", \
+            "chunked needs the lean hash-RNG layout (cross-kernel draws)"
+        arrays = _stash_arrays(lean, rng_impl, tune)
+        for c_try in (16, 8, 4, 2):
+            if spp % c_try:
+                continue
+            for r_try in (16, 8):
+                if (arrays * r_try * 128 * 4 * max_bounces * c_try
+                        / 2**20) <= 4.2:
+                    chunk, rows = c_try, r_try
+                    break
+            if chunk is not None:
+                break
+        if chunk is None:
+            raise ValueError("no chunk layout fits the mono stash budget")
     if not pallas_grad_supported(concrete, lean=lean):
         raise ValueError("scene exceeds the fused grad kernel limits")
 
@@ -2160,6 +2280,11 @@ def make_mse_step(
         run = _compiled_pipeline_mono(*key_args, residuals=residuals,
                                       dbg=dbg, tune=tune, **common)
         target_dev = _target_blocks(target, w, h, rows)
+    elif mode == "chunked":
+        run = _compiled_pipeline_chunked(*key_args, chunk=chunk,
+                                         fwd_rows=fwd_rows, tune=tune,
+                                         **common)
+        target_dev = jnp.asarray(target, jnp.float32)
     else:
         run = _compiled_pipeline(*key_args, fwd_rows=fwd_rows, dbg=dbg,
                                  **common)
@@ -2245,6 +2370,83 @@ def _compiled_pipeline(scene_bytes, shapes, s_mat_bytes, p_mat_bytes, *,
             sg_total = jnp.zeros((9, max(ns, 1)), jnp.float32) * loss
             pg_total = jnp.zeros((9, max(npl, 1)), jnp.float32)
             cg_total = jnp.zeros((16,), jnp.float32)
+
+        grads = _assemble_grads(sg_total, pg_total, cg_total, s_mat, p_mat,
+                                S_table, M_table)
+        return loss, grads
+
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_pipeline_chunked(scene_bytes, shapes, s_mat_bytes, p_mat_bytes,
+                               *, width, height, spp, chunk, max_bounces,
+                               rows, rng_mode, S_table, M_table, lean=True,
+                               fwd_rows=None, rng_impl="hash",
+                               interpret=False, tune=()):
+    """Per-sample-pipeline shape with mono-kernel spp-chunking: one full-spp
+    forward frame + jnp cotangent, then ``spp/chunk`` cot-input mono
+    dispatches, each running ``chunk`` forward sweeps + reverse sweeps in
+    one kernel — amortizing the per-kernel fixed costs the
+    1-sample-per-dispatch pipeline pays spp times.  Requires the hash RNG:
+    the render and mono kernels derive draws from (pixel index, per-sample
+    seed, static counter), so a sample's stream is identical across
+    kernels and tile heights."""
+    from .pallas_render import _compiled
+
+    n = width * height
+    s_mat = np.frombuffer(s_mat_bytes, np.int32)
+    p_mat = np.frombuffer(p_mat_bytes, np.int32)
+    n_tiles_c = -(-n // (rows * 128))
+    pad_c = n_tiles_c * rows * 128 - n
+    n_chunks = spp // chunk
+    assert n_chunks * chunk == spp
+
+    fwd_calls = [
+        _compiled(scene_bytes, shapes, spp_unroll=1, rng_mode=rng_mode,
+                  center_sample=(s == 0), width=width, height=height,
+                  max_bounces=max_bounces, rows=fwd_rows or rows,
+                  rng_impl=rng_impl, interpret=interpret)
+        for s in range(min(spp, 2))
+    ]
+    chunk_calls = [
+        _compiled_mono(scene_bytes, shapes, width=width, height=height,
+                       spp=chunk, max_bounces=max_bounces, rows=rows,
+                       rng_mode=rng_mode, rng_impl=rng_impl, lean=lean,
+                       interpret=interpret, tune=tune, cot_input=True,
+                       center0=(k == 0))
+        for k in range(min(n_chunks, 2))
+    ]
+
+    @jax.jit
+    def run(cam, seed0, target):
+        seeds = seed0 * jnp.int32(100003) + jnp.arange(spp, dtype=jnp.int32)
+        total = None
+        for s in range(spp):
+            call = fwd_calls[0] if s == 0 else fwd_calls[1 % len(fwd_calls)]
+            out = call(cam, seeds[s:s + 1])
+            total = out if total is None else total + out
+        img_blocks = total * jnp.float32(1.0 / spp)
+        img = img_blocks.transpose(0, 2, 3, 1).reshape(-1, 3)[:n]
+        target_flat = target.reshape(n, 3)
+        diff_img = img - target_flat
+        loss = jnp.mean(diff_img ** 2)
+        cot = 2.0 * diff_img / (3.0 * n * spp)
+        cot_blocks = jnp.pad(cot, ((0, pad_c), (0, 0))).reshape(
+            n_tiles_c, rows, 128, 3).transpose(0, 3, 1, 2)
+
+        sg_total = pg_total = cg_total = None
+        for k in range(n_chunks):
+            ccall = (chunk_calls[0] if k == 0
+                     else chunk_calls[1 % len(chunk_calls)])
+            _, sg, pg, cg = ccall(cam, seeds[k * chunk:(k + 1) * chunk],
+                                  cot_blocks)
+            sg = sg.sum(axis=0)
+            pg = pg.sum(axis=0)
+            cg = cg.sum(axis=(0, 1))
+            sg_total = sg if sg_total is None else sg_total + sg
+            pg_total = pg if pg_total is None else pg_total + pg
+            cg_total = cg if cg_total is None else cg_total + cg
 
         grads = _assemble_grads(sg_total, pg_total, cg_total, s_mat, p_mat,
                                 S_table, M_table)

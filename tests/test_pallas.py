@@ -312,6 +312,108 @@ def test_interpret_mono_slim_stash_bit_exact():
                                           np.asarray(g1[k]), err_msg=k)
 
 
+def test_interpret_chunked_pipeline_matches_per_sample():
+    # the spp-chunked mono pipeline (full-spp forward frame + jnp cotangent
+    # + cot-input mono kernels over sample chunks) must reproduce the
+    # per-sample pipeline: identical loss (same forward frame) and
+    # float-eps gradients (only the summation order differs)
+    import numpy as np
+    from rt_tpu import diff
+    from rt_tpu.ops import pallas_grad as pg
+
+    sc = rt_tpu.load("/root/reference/scenes/dielectric.toml")
+    p = diff.extract_params(sc)
+    size, spp, mb = (48, 32), 4, 3
+    w, h = size
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    concrete = diff.apply_params(sc, jax.tree_util.tree_map(jnp.asarray, p))
+    s_cols, p_cols = pg._flatten_primitives(concrete, "sm")
+    key_args = (
+        (s_cols.tobytes(), p_cols.tobytes()),
+        (s_cols.shape, p_cols.shape),
+        bytes(np.asarray(concrete.spheres.material,
+                         np.int32)[:concrete.spheres.count]),
+        bytes(np.asarray(concrete.planes.material,
+                         np.int32)[:concrete.planes.count]),
+    )
+    common = dict(width=w, height=h, spp=spp, max_bounces=mb, rows=8,
+                  rng_mode="reference", lean=True, rng_impl="hash",
+                  interpret=True, S_table=sc.spheres.center.shape[0],
+                  M_table=sc.materials.albedo.shape[0])
+    tune, _ = pg._default_tune(s_cols, p_cols, 8, "hash", "mono", True)
+    run_multi = pg._compiled_pipeline(*key_args, fwd_rows=None, **common)
+    run_chunk = pg._compiled_pipeline_chunked(*key_args, chunk=2,
+                                              fwd_rows=None, tune=tune,
+                                              **common)
+    cam = jnp.concatenate([
+        jnp.asarray(concrete.camera.position, jnp.float32),
+        jnp.asarray(concrete.camera.rotation, jnp.float32).reshape(-1),
+        jnp.asarray([np.tan(concrete.camera.vfov * 0.5), w / h,
+                     concrete.camera.near, 0.0], jnp.float32),
+    ])
+    l0, g0 = run_multi(cam, jnp.int32(7), target)
+    l1, g1 = run_chunk(cam, jnp.int32(7), target)
+    assert float(l0) == float(l1)
+    for k in g0:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=k)
+
+
+def test_grad_pipeline_routing_decisions():
+    # the spp/VMEM router: headline shapes keep the one-dispatch mono
+    # kernel (downshifting rows when the stash outgrows the measured 4.2 MB
+    # budget), and high-spp steps take the spp-chunked pipeline instead of
+    # the 1-sample-per-dispatch fallback
+    from rt_tpu import diff
+    from rt_tpu.ops import pallas_grad as pg
+
+    class Sentinel(Exception):
+        pass
+
+    picked = {}
+
+    def spy(name):
+        def f(*a, **kw):
+            picked.update(mode=name, rows=kw.get("rows"),
+                          chunk=kw.get("chunk"))
+            raise Sentinel
+        return f
+
+    orig = (pg._compiled_pipeline_mono, pg._compiled_pipeline_chunked,
+            pg._compiled_pipeline)
+    pg._compiled_pipeline_mono = spy("mono")
+    pg._compiled_pipeline_chunked = spy("chunked")
+    pg._compiled_pipeline = spy("multi")
+    try:
+        def probe(path, pers, spp):
+            sc = rt_tpu.load(path)
+            p = diff.extract_params(sc)
+            target = jnp.zeros((600, 800, 3), jnp.float32)
+            picked.clear()
+            try:
+                pg.make_mse_step(p, sc, target, (800, 600), spp=spp,
+                                 max_bounces=8, personality=pers)
+            except Sentinel:
+                pass
+            return dict(picked)
+
+        basic = "/root/reference/scenes/basic.toml"
+        diel = "/root/reference/scenes/dielectric.toml"
+        assert probe(basic, "mg", 4) == {
+            "mode": "mono", "rows": 32, "chunk": None}
+        assert probe(basic, "mg", 16) == {
+            "mode": "mono", "rows": 8, "chunk": None}
+        assert probe(diel, "sm", 4) == {
+            "mode": "mono", "rows": 24, "chunk": None}
+        # sm@64spp: the per-sample pipeline (chunked measured slower on
+        # device — negative result in the pallas_grad gate comment)
+        assert probe(diel, "sm", 64)["mode"] == "multi"
+    finally:
+        (pg._compiled_pipeline_mono, pg._compiled_pipeline_chunked,
+         pg._compiled_pipeline) = orig
+
+
 def test_interpret_fused_grad_dielectric_personality():
     # sm personality on dielectric.toml exercises the has_die branch of the
     # class-presence specialization (Fresnel/refraction + its transpose)

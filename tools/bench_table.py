@@ -142,16 +142,18 @@ def main():
                  f"{800*600*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
                  f"step/fwd = {t/t_ref:.2f}x the session anchor)"))
 
-    # config 2 at its SPECIFIED 16 spp (round-3 VERDICT item 5): the mono
-    # stash doesn't fit 16 spp — auto-routes to the per-sample pipeline
+    # config 2 at its SPECIFIED 16 spp (round-3 VERDICT item 5): the slim
+    # stash fits 16 spp in the mono kernel at rows=8 (auto-downshifted;
+    # measured 694.7 vs the per-sample pipeline's 569.9 Mrays/s, CV job)
     if not args.fast:
         step16 = make_mse_step(params, s, target, (800, 600), spp=16,
                                max_bounces=8)
         t = sustained(lambda i: step16(i)[1], iters=8)
         rows.append(("2: basic 800x600 @16spp d8 fwd+bwd (SPECIFIED spp; "
-                     "per-sample pipeline)",
+                     "slim-stash mono kernel, rows=8)",
                      f"{800*600*16/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
-                     "FD-checked at 16 spp in tools job CK_gradspp)"))
+                     "FD-checked at 16 spp through the mono step, job CW, "
+                     "rel 0.235%)"))
 
     # --- config 3: dielectric 800x600 @ 64spp sm ----------------------------
     d = rt_tpu.load("scenes/dielectric.toml")
@@ -190,7 +192,7 @@ def main():
         rows.append(("3: dielectric 800x600 @64spp d8 fwd+bwd (SPECIFIED "
                      "spp, sm; per-sample pipeline)",
                      f"{800*600*64/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
-                     "FD-checked in tools job CK_gradspp)"))
+                     "FD-checked at 64 spp in tools job CW (rel 0.006%))"))
 
     # --- 96-640-primitive window: fused gradients two ways -----------------
     # (a) the unrolled fused kernel with the lean winner-id stash (auto past
