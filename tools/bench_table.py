@@ -184,6 +184,23 @@ def main():
                  f"grad_ok={grad_ok}; {sm_step_rate/sm_fwd_rate:.2f}x of the "
                  f"session sm fwd rate; {vs_cpu(sm_step_rate, cpu3)})"))
 
+    # sm/mg gap decomposition (round-4): mg personality on the SAME
+    # 7-sphere scene isolates scene tax (linear scan size) from dielectric
+    # tax (Fresnel/refraction physics + transpose) — the BASELINE-row
+    # ratio conflates the two (pallas_grad.py round-4 docstring table)
+    if not args.fast:
+        mg_t = sustained(lambda i: step(i)[1])        # mg on basic (3 sph)
+        mgd_step = make_mse_step(dparams, d, target, (800, 600), spp=4,
+                                 max_bounces=8, personality="mg")
+        mgd_t = sustained(lambda i: mgd_step(i)[1])   # mg on dielectric
+        smd_t = sustained(lambda i: dstep(i)[1])      # sm on dielectric
+        rows.append(("3: sm/mg fwd+bwd gap decomposition (@4spp d8, "
+                     "same-session)",
+                     f"BASELINE-row ratio {mg_t/smd_t:.2f} = 1 / (scene tax "
+                     f"{mgd_t/mg_t:.2f}x [7 vs 3 spheres, mg on both] x "
+                     f"dielectric tax {smd_t/mgd_t:.2f}x); matched-scene "
+                     f"sm/mg = {mgd_t/smd_t:.2f}"))
+
     # config 3 at its SPECIFIED 64 spp (round-3 VERDICT item 5)
     if not args.fast:
         dstep64 = make_mse_step(dparams, d, target, (800, 600), spp=64,
