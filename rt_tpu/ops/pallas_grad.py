@@ -1472,11 +1472,12 @@ def _make_mono_kernel(s_cols, p_cols, *, width, height, spp, max_bounces,
                             # winner index rides the bits word (<=640 prims
                             # fit bits 16..25) and the live hit distance tau
                             # replaces the 3-array origin stash: the reverse
-                            # sweep reconstructs o[b] = o[b+1] - tau*d[b]
-                            # (exact when tau==0; <=1 ulp otherwise), so the
-                            # per-(bounce,sample) stash drops 11 -> 8 live
-                            # arrays — the VMEM that unlocks taller
-                            # dielectric tiles.
+                            # sweep REPLAYS the origin chain forward
+                            # (o[b+1] = o[b] + tau[b]*d[b] from the raygen
+                            # origin — bit-exact, the same adds in the same
+                            # order as the forward), so the per-(bounce,
+                            # sample) stash drops 11 -> 8 live arrays — the
+                            # VMEM that unlocks taller dielectric tiles.
                             packed = packed | (
                                 bidx.astype(jnp.int32) << jnp.int32(16))
                             tau = jnp.where(bits["live_h"], best_t, 0.0)
@@ -2048,7 +2049,6 @@ def pallas_mse_loss_and_grad(
     from ..diff import apply_params
 
     w, h = size
-    dbg = ()
     chunk = None
     if max_bounces is None:
         max_bounces = scene.max_bounces
@@ -2066,10 +2066,19 @@ def pallas_mse_loss_and_grad(
         # the mono kernel unrolls spp x bounces x prims — too big past the
         # payload cap; the per-sample pipeline handles 97..640
         mode = "multi"
+    if n_prims > MAX_GRAD_PRIMS and mode == "chunked":
+        # the chunked variant runs the same fully-unrolled mono kernel per
+        # chunk, so it shares the mono payload cap; past it the unroll
+        # blows up at compile time rather than producing wrong results
+        raise ValueError(
+            f"mode='chunked' needs n_prims <= {MAX_GRAD_PRIMS} (the mono "
+            "unroll cap); use the per-sample pipeline (mode='multi')")
     if mode == "mono":
         # the mono VMEM stash is (arrays/bounce) x rows x 128 x bounces x
-        # spp; past ~11 MiB of the 16 MiB scoped-VMEM budget Mosaic OOMs —
-        # high-spp steps run the per-sample pipeline instead
+        # spp; Mosaic OOMs well below the 16 MiB scoped-VMEM budget once
+        # the reverse live-range peak rides on top, so the router budgets
+        # the stash at a measured 4.2 MB and downshifts rows (below) before
+        # falling back to the per-sample pipeline
         arrays = _stash_arrays(lean, rng_impl, tune)
         stash_mb = arrays * rows * 128 * 4 * max_bounces * spp / 2**20
         if stash_mb > 4.2:
@@ -2216,10 +2225,19 @@ def make_mse_step(
         # the mono kernel unrolls spp x bounces x prims — too big past the
         # payload cap; the per-sample pipeline handles 97..640
         mode = "multi"
+    if n_prims > MAX_GRAD_PRIMS and mode == "chunked":
+        # the chunked variant runs the same fully-unrolled mono kernel per
+        # chunk, so it shares the mono payload cap; past it the unroll
+        # blows up at compile time rather than producing wrong results
+        raise ValueError(
+            f"mode='chunked' needs n_prims <= {MAX_GRAD_PRIMS} (the mono "
+            "unroll cap); use the per-sample pipeline (mode='multi')")
     if mode == "mono":
         # the mono VMEM stash is (arrays/bounce) x rows x 128 x bounces x
-        # spp; past ~11 MiB of the 16 MiB scoped-VMEM budget Mosaic OOMs —
-        # high-spp steps run the per-sample pipeline instead
+        # spp; Mosaic OOMs well below the 16 MiB scoped-VMEM budget once
+        # the reverse live-range peak rides on top, so the router budgets
+        # the stash at a measured 4.2 MB and downshifts rows (below) before
+        # falling back to the per-sample pipeline
         arrays = _stash_arrays(lean, rng_impl, tune)
         stash_mb = arrays * rows * 128 * 4 * max_bounces * spp / 2**20
         if stash_mb > 4.2:

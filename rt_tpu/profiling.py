@@ -13,7 +13,8 @@ from typing import Optional
 
 import jax
 
-__all__ = ["RenderTimer", "trace", "counters", "mrays_per_sec", "sustained"]
+__all__ = ["RenderTimer", "trace", "counters", "mrays_per_sec", "sustained",
+           "interleaved"]
 
 counters: dict[str, float] = {}
 
@@ -50,6 +51,50 @@ def sustained(step, iters: int = 32, windows: int = 5,
         "max": ws[-1],
         "windows": ws,
     }
+
+
+def interleaved(steps, iters=32, windows: int = 9,
+                warmup_windows: int = 1) -> list[dict]:
+    """Same-chip-state ratio measurement: N steps, ROUND-ROBIN windows.
+
+    The chip's absolute rate drifts enough WITHIN one session to invert a
+    ratio computed from two sequential measurement blocks (round-4 CO job:
+    the forward anchor measured 647 then 496 Mrays/s minutes apart in one
+    process while the step under test went the other way).  Alternating
+    the windows samples the same chip state for every step, so the ratios
+    between the returned medians are trustworthy — this is the bench.py
+    fwd_ref pattern (bench.py round-4 fix), factored out so
+    tools/bench_table.py's anchor rows use the identical discipline.
+
+    ``steps``: list of ``fn(i)`` callables, or ``(fn, iters)`` pairs when a
+    slow step needs a smaller window.  Returns one dict per step:
+    ``{"median": s, "min": s, "max": s, "windows": [s...]}`` with medians
+    taken across its ``windows`` interleaved windows.
+    """
+    norm = [(s, iters) if callable(s) else tuple(s) for s in steps]
+    for fn, _ in norm:
+        jax.block_until_ready(fn(0))
+
+    def window(fn, n):
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = fn(i)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    for _ in range(warmup_windows):
+        for fn, n in norm:
+            window(fn, n)
+    ws: list[list[float]] = [[] for _ in norm]
+    for _ in range(windows):
+        for k, (fn, n) in enumerate(norm):
+            ws[k].append(window(fn, n))
+    out = []
+    for w in ws:
+        w = sorted(w)
+        out.append({"median": w[len(w) // 2], "min": w[0], "max": w[-1],
+                    "windows": w})
+    return out
 
 
 def mrays_per_sec(size: tuple[int, int], spp: int, seconds: float) -> float:

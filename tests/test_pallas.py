@@ -363,8 +363,9 @@ def test_interpret_chunked_pipeline_matches_per_sample():
 def test_grad_pipeline_routing_decisions():
     # the spp/VMEM router: headline shapes keep the one-dispatch mono
     # kernel (downshifting rows when the stash outgrows the measured 4.2 MB
-    # budget), and high-spp steps take the spp-chunked pipeline instead of
-    # the 1-sample-per-dispatch fallback
+    # budget), and high-spp steps that outgrow every rows tier default to
+    # the per-sample pipeline (the spp-chunked variant is a measured
+    # negative result, explicit opt-in only)
     from rt_tpu import diff
     from rt_tpu.ops import pallas_grad as pg
 

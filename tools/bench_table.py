@@ -52,6 +52,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts), out
 
+    from rt_tpu.profiling import interleaved as _interleaved
     from rt_tpu.profiling import sustained as _sustained
 
     def sustained(step, iters=32):
@@ -59,6 +60,17 @@ def main():
         rt_tpu.profiling.sustained bench.py uses — round-2 VERDICT item 5:
         one methodology everywhere, dispersion available)."""
         return _sustained(step, iters=iters, windows=5)["median"]
+
+    def interleaved(steps, windows=9):
+        """Same-state A/B: round-robin windows (rt_tpu.profiling.
+        interleaved — the bench.py fwd_ref discipline, windows=9 to
+        match).  EVERY ratio in this table comes from one of these calls:
+        the chip drifts enough within a session that ratios of two
+        sequential measurement blocks are noise (the round-4 committed
+        table carried a physically impossible 0.46x step/fwd row from
+        exactly that — VERDICT r4 'what's weak' item 1)."""
+        return [m["median"]
+                for m in _interleaved(steps, windows=windows)]
 
     # --- native CPU baseline rates (cached; measured on this host) ----------
     # The ratio column for configs 3/4/5 (round-3 VERDICT item 4): the
@@ -102,45 +114,55 @@ def main():
 
     # --- session forward reference (ratio anchor) ---------------------------
     # Absolute rates swing ±25% between sessions (BASELINE.md variance
-    # note); every fwd+bwd row below therefore also reports its time ratio
-    # against THIS row, measured in the same session (VERDICT r3 item 3).
+    # note); every fwd+bwd row below therefore reports its time ratio
+    # against THIS step, measured in INTERLEAVED same-state windows
+    # (VERDICT r4 item 3 — never from two sequential blocks).
     s = rt_tpu.load("scenes/basic.toml")
     ref_step = make_render_step(s, (800, 600), spp=4, max_bounces=8)
     t_ref = sustained(ref_step, iters=16)
     rows.append(("ref: basic 800x600 @4spp d8 fwd (session ratio anchor)",
-                 f"{800*600*4/t_ref/1e6:.0f} Mrays/s ({t_ref*1e3:.2f} ms)"))
+                 f"{800*600*4/t_ref/1e6:.0f} Mrays/s ({t_ref*1e3:.2f} ms; "
+                 "absolute, session-dependent — each ratio row below "
+                 "re-measures this step in interleaved windows)"))
 
     # --- config 1: basic 200x150 @ 1spp d4, parity posture ------------------
     t_cold, img = timeit(lambda i: render_forward_pallas(
         s, (200, 150), seed=i, spp=1, max_bounces=4))
     step1 = make_render_step(s, (200, 150), spp=1, max_bounces=4)
-    t = sustained(step1)
-    rows.append(("1: basic 200x150 @1spp d4 fwd",
-                 f"{200*150*1/t/1e6:.0f} Mrays/s sustained ({t*1e3:.2f} ms/frame "
-                 f"prebuilt step; {t_cold*1e3:.1f} ms per blocked eager call — "
-                 "host round-trip latency, not compute)"))
     step1b = make_render_step(s, (200, 150), spp=1, max_bounces=4, frames=16)
-    tb = sustained(step1b, iters=4) / 16
+    # per-row anchor (VERDICT r4 item 8): both config-1 rows ratio against
+    # the session anchor from the same interleaved windows
+    t1, t1b, t_ref_i = interleaved(
+        [step1, (step1b, 4), (ref_step, 16)])
+    tb = t1b / 16
+    rows.append(("1: basic 200x150 @1spp d4 fwd",
+                 f"{200*150*1/t1/1e6:.0f} Mrays/s sustained ({t1*1e3:.2f} ms/frame "
+                 f"prebuilt step = {t1/t_ref_i:.2f}x the anchor frame time, "
+                 f"interleaved; {t_cold*1e3:.1f} ms per blocked eager call — "
+                 "host round-trip latency, not compute)"))
     rows.append(("1: basic 200x150 @1spp d4 fwd, 16-frame batched dispatch",
                  f"{200*150*1/tb/1e6:.0f} Mrays/s sustained "
-                 f"({tb*1e3:.2f} ms/frame — k seeds per kernel grid "
+                 f"({tb*1e3:.2f} ms/frame = {tb/t_ref_i:.3f}x the anchor "
+                 "frame time, interleaved — k seeds per kernel grid "
                  "amortize the fixed dispatch floor)"))
 
     # --- config 2: basic 800x600 @ 16spp d8 fwd + fwd/bwd -------------------
     spp2 = 4 if args.fast else 16
     step2 = make_render_step(s, (800, 600), spp=spp2, max_bounces=8)
-    t = sustained(step2, iters=16)
+    t, t_ref_i = interleaved([(step2, 16), (ref_step, 16)])
     rows.append((f"2: basic 800x600 @{spp2}spp d8 fwd",
                  f"{800*600*spp2/t/1e6:.0f} Mrays/s sustained "
-                 f"({t*1e3:.1f} ms/frame)"))
+                 f"({t*1e3:.1f} ms/frame; {t/t_ref_i/(spp2/4):.2f}x the "
+                 "anchor per-spp, interleaved)"))
 
     params = diff.extract_params(s)
     target = jnp.zeros((600, 800, 3), jnp.float32)
     step = make_mse_step(params, s, target, (800, 600), spp=4, max_bounces=8)
-    t = sustained(lambda i: step(i)[1])
+    t, t_ref_i = interleaved([lambda i: step(i)[1], ref_step])
     rows.append(("2: basic 800x600 @4spp d8 fwd+bwd (sphere/material/camera grads)",
                  f"{800*600*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
-                 f"step/fwd = {t/t_ref:.2f}x the session anchor)"))
+                 f"step/fwd = {t/t_ref_i:.2f}x the session anchor, "
+                 "interleaved windows)"))
 
     # config 2 at its SPECIFIED 16 spp (round-3 VERDICT item 5): the slim
     # stash fits 16 spp in the mono kernel at rows=8 (auto-downshifted;
@@ -148,24 +170,21 @@ def main():
     if not args.fast:
         step16 = make_mse_step(params, s, target, (800, 600), spp=16,
                                max_bounces=8)
-        t = sustained(lambda i: step16(i)[1], iters=8)
+        t, t_ref_i = interleaved([(lambda i: step16(i)[1], 8),
+                                  (ref_step, 16)])
         rows.append(("2: basic 800x600 @16spp d8 fwd+bwd (SPECIFIED spp; "
                      "slim-stash mono kernel, rows=8)",
                      f"{800*600*16/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
-                     "FD-checked at 16 spp through the mono step, job CW, "
-                     "rel 0.235%)"))
+                     f"step/fwd = {t/t_ref_i/4:.2f}x the 4spp anchor "
+                     "per-spp, interleaved; FD-checked at 16 spp through "
+                     "the mono step, job CW, rel 0.235%)"))
 
     # --- config 3: dielectric 800x600 @ 64spp sm ----------------------------
     d = rt_tpu.load("scenes/dielectric.toml")
     spp3 = 8 if args.fast else 64
     step3 = make_render_step(d, (800, 600), spp=spp3, max_bounces=8,
                              personality="sm")
-    t = sustained(step3, iters=8)
-    sm_fwd_rate = 800*600*spp3/t/1e6
     cpu3 = native_mrays("3-sm-dielectric", d, (400, 300), 16, "sm")
-    rows.append((f"3: dielectric 800x600 @{spp3}spp d8 fwd (sm)",
-                 f"{sm_fwd_rate:.0f} Mrays/s sustained "
-                 f"({t*1e3:.1f} ms/frame; {vs_cpu(sm_fwd_rate, cpu3)})"))
 
     # --- config 3: Fresnel/refraction + camera-pose gradients ---------------
     dparams = diff.extract_params(d)
@@ -176,26 +195,36 @@ def main():
                        for g in dgrads.values())
                    and float(np.abs(np.asarray(dgrads["camera.position"])).max()) > 0
                    and float(np.abs(np.asarray(dgrads["materials.reflectivity"])).max()) > 0)
-    t = sustained(lambda i: dstep(i)[1])
+    # one interleaved group: sm fwd + sm fwd+bwd share the windows, so the
+    # step/fwd ratio is same-state
+    t3, t = interleaved([(step3, 8), lambda i: dstep(i)[1]])
+    sm_fwd_rate = 800*600*spp3/t3/1e6
+    rows.append((f"3: dielectric 800x600 @{spp3}spp d8 fwd (sm)",
+                 f"{sm_fwd_rate:.0f} Mrays/s sustained "
+                 f"({t3*1e3:.1f} ms/frame; {vs_cpu(sm_fwd_rate, cpu3)})"))
     sm_step_rate = 800*600*4/t/1e6
     rows.append(("3: dielectric 800x600 @4spp d8 fwd+bwd "
                  "(IOR/Fresnel + camera-pose grads, sm)",
                  f"{sm_step_rate:.0f} Mrays/s ({t*1e3:.1f} ms/step, "
-                 f"grad_ok={grad_ok}; {sm_step_rate/sm_fwd_rate:.2f}x of the "
-                 f"session sm fwd rate; {vs_cpu(sm_step_rate, cpu3)})"))
+                 f"grad_ok={grad_ok}; step/fwd = {t/(t3/(spp3//4)):.2f}x "
+                 "the session sm fwd per-spp, interleaved; "
+                 f"{vs_cpu(sm_step_rate, cpu3)})"))
 
     # sm/mg gap decomposition (round-4): mg personality on the SAME
     # 7-sphere scene isolates scene tax (linear scan size) from dielectric
     # tax (Fresnel/refraction physics + transpose) — the BASELINE-row
-    # ratio conflates the two (pallas_grad.py round-4 docstring table)
+    # ratio conflates the two (pallas_grad.py round-4 docstring table).
+    # All four steps share one interleaved round-robin.
     if not args.fast:
-        mg_t = sustained(lambda i: step(i)[1])        # mg on basic (3 sph)
         mgd_step = make_mse_step(dparams, d, target, (800, 600), spp=4,
                                  max_bounces=8, personality="mg")
-        mgd_t = sustained(lambda i: mgd_step(i)[1])   # mg on dielectric
-        smd_t = sustained(lambda i: dstep(i)[1])      # sm on dielectric
+        mg_t, mgd_t, smd_t = interleaved([
+            lambda i: step(i)[1],        # mg on basic (3 sph)
+            lambda i: mgd_step(i)[1],    # mg on dielectric
+            lambda i: dstep(i)[1],       # sm on dielectric
+        ])
         rows.append(("3: sm/mg fwd+bwd gap decomposition (@4spp d8, "
-                     "same-session)",
+                     "interleaved same-state windows)",
                      f"BASELINE-row ratio {mg_t/smd_t:.2f} = 1 / (scene tax "
                      f"{mgd_t/mg_t:.2f}x [7 vs 3 spheres, mg on both] x "
                      f"dielectric tax {smd_t/mgd_t:.2f}x); matched-scene "
@@ -205,11 +234,13 @@ def main():
     if not args.fast:
         dstep64 = make_mse_step(dparams, d, target, (800, 600), spp=64,
                                 max_bounces=8, personality="sm")
-        t = sustained(lambda i: dstep64(i)[1], iters=2)
+        t, t3_i = interleaved([(lambda i: dstep64(i)[1], 2), (step3, 8)])
         rows.append(("3: dielectric 800x600 @64spp d8 fwd+bwd (SPECIFIED "
                      "spp, sm; per-sample pipeline)",
                      f"{800*600*64/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
-                     "FD-checked at 64 spp in tools job CW (rel 0.006%))"))
+                     f"step/fwd = {t/t3_i:.2f}x the session sm @{spp3}spp "
+                     "fwd frame, interleaved; FD-checked at 64 spp in "
+                     "tools job CW (rel 0.006%))"))
 
     # --- 96-640-primitive window: fused gradients two ways -----------------
     # (a) the unrolled fused kernel with the lean winner-id stash (auto past
@@ -229,7 +260,8 @@ def main():
     t = sustained(lambda i: fstep(i)[1], iters=16)
     rows.append(("window: 200-sphere 400x300 @2spp d6 fwd+bwd "
                  "(unrolled fused, lean stash)",
-                 f"{small[0]*small[1]*2/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step)"))
+                 f"{small[0]*small[1]*2/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
+                 "absolute, session-dependent)"))
     bw_step = make_bw_train_step(opt, s200, tgt_s, small, spp=4, max_bounces=8)
     st = opt.init(p200)
 
@@ -240,7 +272,8 @@ def main():
     t = sustained(one, iters=8)
     rows.append(("window: 200-sphere 400x300 @4spp d8 full train step "
                  "(blockwise fwd+bwd, runtime tables)",
-                 f"{small[0]*small[1]*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step)"))
+                 f"{small[0]*small[1]*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
+                 "absolute, session-dependent)"))
 
     # --- config 4: 500-sphere 1080p -----------------------------------------
     s500 = rt_tpu.scene.make_procedural_scene(500)
@@ -252,16 +285,20 @@ def main():
     rows.append((f"4: 500-sphere 1080p @{spp4}spp d8 fwd (blockwise)",
                  f"{rb/t/1e9:.2f} Gray-bounces/s ({t:.2f} s/frame; "
                  f"128 spp ≈ {t*128/spp4:.1f} s; "
-                 f"{vs_cpu(1920*1080*spp4/t/1e6, cpu4)})"))
+                 f"{vs_cpu(1920*1080*spp4/t/1e6, cpu4)}; absolute, "
+                 "session-dependent)"))
 
     # static-scene alternative: the unrolled megakernel (scene baked, per-
     # bounce dead-tile early-out) — recompiles on geometry edits but runs
     # the same frame substantially faster
     step500 = make_render_step(s500, (1920, 1080), spp=spp4, max_bounces=8)
-    t = sustained(step500, iters=4)
+    bw500_fwd = lambda i: render_forward_blockwise(
+        s500, (1920, 1080), seed=i, spp=spp4, max_bounces=8)
+    t, t_bw4 = interleaved([(step500, 4), (bw500_fwd, 2)], windows=5)
     rows.append((f"4: 500-sphere 1080p @{spp4}spp d8 fwd (unrolled, "
                  "early-out)",
-                 f"{rb/t/1e9:.2f} Gray-bounces/s ({t:.2f} s/frame)"))
+                 f"{rb/t/1e9:.2f} Gray-bounces/s ({t:.2f} s/frame = "
+                 f"{t_bw4/t:.2f}x the blockwise frame, interleaved)"))
 
     # --- config 4: gradients at 500 spheres ---------------------------------
     p500 = diff.extract_params(s500)
@@ -275,7 +312,8 @@ def main():
     t = sustained(one5, iters=8)
     rows.append(("4: 500-sphere 400x300 @4spp d8 full train step "
                  "(blockwise fwd+bwd)",
-                 f"{small[0]*small[1]*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step)"))
+                 f"{small[0]*small[1]*4/t/1e6:.0f} Mrays/s ({t*1e3:.1f} ms/step; "
+                 "absolute, session-dependent)"))
 
     # --- config 4: full train step at the SPECIFIED 1080p shape -------------
     if not args.fast:
@@ -292,35 +330,35 @@ def main():
         rows.append(("4: 500-sphere 1920x1080 @4spp d8 full train step "
                      "(blockwise fwd+bwd, specified shape)",
                      f"{1920*1080*4/t/1e6:.1f} Mrays/s ({t*1e3:.0f} ms/step; "
-                     f"128 spp ≈ {t*128/4:.0f} s/step)"))
+                     f"128 spp ≈ {t*128/4:.0f} s/step; absolute, "
+                     "session-dependent)"))
 
     # --- config 5: 5000-sphere rate on a 4K slice ---------------------------
+    # blockwise vs wavefront forwards share one interleaved group so the
+    # wavefront speedup claim is same-state
     s5k = rt_tpu.scene.make_procedural_scene(5000)
-    t, _ = timeit(lambda i: render_forward_blockwise(
-        s5k, (960, 540), seed=i, spp=2, max_bounces=8), reps=2)
     rb = 960 * 540 * 2 * 8
     cpu5 = native_mrays("5-mg-5000sph", s5k, (240, 135), 2, "mg")
-    t_bw5 = t
-    rows.append(("5: 5000-sphere fwd rate (960x540 @2spp d8 slice, blockwise)",
-                 f"{rb/t/1e9:.2f} Gray-bounces/s "
-                 f"({rb*5120/t/1e12:.1f} T prim-tests/s; "
-                 f"{vs_cpu(960*540*2/t/1e6, cpu5)})"))
 
-    # bounce-major wavefront (compaction + coherence sort + bucketed
-    # shrink): the many-primitive specialist, same estimator bit-for-bit
-    # (rt_tpu.ops.pallas_wavefront; round-4 VERDICT item 1)
     from rt_tpu.ops.pallas_wavefront import render_forward_wavefront
+
+    def bw5(i):
+        return render_forward_blockwise(s5k, (960, 540), seed=i, spp=2,
+                                        max_bounces=8)
 
     def wf5(i):
         return render_forward_wavefront(s5k, (960, 540), seed=i, spp=2,
                                         max_bounces=8)
 
-    jax.block_until_ready(wf5(0))
-    t = sustained(wf5, iters=4)
+    t_bw5, t_wf5 = interleaved([(bw5, 2), (wf5, 4)], windows=5)
+    rows.append(("5: 5000-sphere fwd rate (960x540 @2spp d8 slice, blockwise)",
+                 f"{rb/t_bw5/1e9:.2f} Gray-bounces/s "
+                 f"({rb*5120/t_bw5/1e12:.1f} T prim-tests/s; "
+                 f"{vs_cpu(960*540*2/t_bw5/1e6, cpu5)})"))
     rows.append(("5: 5000-sphere fwd rate (same slice, WAVEFRONT)",
-                 f"{rb/t/1e9:.2f} Gray-bounces/s ({t*1e3:.0f} ms; "
-                 f"{t_bw5/t:.2f}x the pixel-major blockwise kernel "
-                 f"same-session; {vs_cpu(960*540*2/t/1e6, cpu5)})"))
+                 f"{rb/t_wf5/1e9:.2f} Gray-bounces/s ({t_wf5*1e3:.0f} ms; "
+                 f"{t_bw5/t_wf5:.2f}x the pixel-major blockwise kernel, "
+                 f"interleaved windows; {vs_cpu(960*540*2/t_wf5/1e6, cpu5)})"))
 
     # --- config 5: gradients + the end-to-end 4K frame ----------------------
     if not args.fast:
@@ -334,10 +372,12 @@ def main():
             _p[0], _p[1], loss = g5_step(_p[0], _p[1], i)
             return loss
 
-        t = sustained(one5k, iters=2)
+        t, t_wf5_i = interleaved([(one5k, 2), (wf5, 4)], windows=5)
         rows.append(("5: 5000-sphere 960x540 @2spp d8 full train step "
                      "(blockwise fwd+bwd)",
-                     f"{960*540*2/t/1e6:.1f} Mrays/s ({t*1e3:.0f} ms/step)"))
+                     f"{960*540*2/t/1e6:.1f} Mrays/s ({t*1e3:.0f} ms/step = "
+                     f"{t/t_wf5_i:.2f}x the wavefront forward frame, "
+                     "interleaved)"))
     rows.append(("5: END-TO-END frame — 3840x2160 @256spp d8, 5000 spheres",
                  "STATIC one-off measurement (not re-run by this script): "
                  "627.7 s wall via the wavefront pipeline (3.4 Mrays/s; "
@@ -353,6 +393,11 @@ def main():
     md += [
         "",
         "Notes:",
+        "- Every RATIO in this table is measured from INTERLEAVED round-",
+        "  robin windows (rt_tpu.profiling.interleaved): the chip's rate",
+        "  drifts enough within one session to invert a ratio of two",
+        "  sequential measurement blocks.  Rows without a ratio are tagged",
+        "  'absolute, session-dependent' (±25% across sessions).",
         "- Sustained rows run prebuilt steps (make_render_step /",
         "  make_mse_step / make_bw_train_step), 8-32 pipelined iterations",
         "  blocked once at the end — the steady interactive/serving/training",
