@@ -71,17 +71,29 @@ kernel at ~306-316 ms):
     overhead on dead tiles is what the bucketed shrink attacks; the
     in-kernel any-live lax.cond alone cannot remove it.
 
-Forward/serving only (like the pixel-major kernel): config-5 TRAINING
-steps keep the blockwise fused fwd+bwd kernels — a wavefront backward
-would need the per-bounce ray permutations recorded (or re-sorted) in
-reverse, which is future work; the forward win already carries the
-serving path (the 4K config-5 frame: 800.6 s -> 627.7 s, job CP).
+Training (round 5): rt_tpu.ops.pallas_wavefront_grad runs the fused
+fwd+bwd on THIS pipeline — the bounce kernels' ``record=True`` mode
+stashes a winner word in spare row 14, the sorts record their
+permutations, and a scan-free reverse sweep transports cotangents
+bounce-major (see that module's docstring).  The forward-only entry
+points here stay record-free.
 
 State row layout (f32):
   0-2  origin        3-5  direction      6-8  throughput
-  9-11 radiance acc  12   live flag      13   pixel index
-  14   sample index  15   (spare)
-Pixel/sample indices are exact small integers in f32 (<= 2^24).
+  9-11 radiance acc  12   live flag      13   ray id (int32 BITCAST)
+  14-15 (spare)
+Row 13 carries the global ray id (sample * n_pix + pixel) as an int32
+bit-pattern riding an f32 row (``lax.bitcast_convert_type``): ids are
+exact up to 2^30 rays, so a 4K frame can chunk at >=8 spp (the round-4
+f32 layout capped pixel ids at 2^24 = 2 spp per 4K chunk, which starved
+the sort amortization — VERDICT r4 item 2).  The stored pattern is
+``id | _ID_TAG`` (bit 30): raw small ints bitcast to f32 are SUBNORMAL
+patterns, and the TPU flushes subnormals to zero somewhere between the
+kernel stores and the XLA sorts (measured on v5e: frame parity broke
+with maxdiff ~1 until the tag; job 50/51) — the tag forces a normal
+exponent so every copy/select moves the pattern intact.  The record row
+(14, grad mode) gets the same tag for the same reason.  The sorts only
+move both rows as opaque payload (never compare them).
 """
 
 from __future__ import annotations
@@ -114,11 +126,16 @@ __all__ = ["render_forward_wavefront",
            "render_forward_wavefront_sharded",
            "wavefront_supported"]
 
+# bit-30 exponent tag keeping int bit-patterns in f32 state rows out of
+# the TPU's flush-to-zero subnormal range (see module docstring)
+_ID_TAG = 1 << 30
+_ID_MASK = _ID_TAG - 1
+
 
 def wavefront_supported(scene, include_boxes: bool = False) -> bool:
     """Same scene envelope as the blockwise kernel (the bounce body is
-    shared); additionally the frame's ray count must keep pixel ids exact
-    in f32 (checked at call time against 2^24)."""
+    shared); additionally a chunk's ray count must keep ray ids exact in
+    the tagged int32 encoding (checked at call time against 2^30)."""
     return blockwise_supported(scene, include_boxes)
 
 
@@ -144,7 +161,7 @@ def _hash_u01_dyn(pix, seed, ctr, shape):
 
 def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                     center_sample, gen, block, cull, cull_group, wf_rows,
-                    dbg=(), extract_window=0):
+                    dbg=(), extract_window=0, record=False):
     """Wavefront kernel body.
 
     ``gen=True``: raygen + bounce 0.  No state input; pixel/sample ids
@@ -204,8 +221,13 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                 # kernel
                 base = smp * jnp.int32(draws_per_sample)
             else:
-                pix = state_ref[13:14, sl].astype(jnp.int32)
-                smp = state_ref[14:15, sl].astype(jnp.int32)
+                # ray id rides row 13 as a bit-30-tagged int32 bit-pattern
+                # (exact to 2^30 rays; see module docstring)
+                idx = (jax.lax.bitcast_convert_type(state_ref[13:14, sl],
+                                                    jnp.int32)
+                       & jnp.int32(_ID_MASK))
+                pix = idx % n_pix
+                smp = idx // n_pix
                 b_dyn = meta_ref[3]
                 # bounce b's draws follow jitter(2) + 4 per earlier bounce
                 base = (smp * jnp.int32(draws_per_sample) + jnp.int32(2)
@@ -266,16 +288,16 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                 acc = [state_ref[9 + c:10 + c, sl] for c in range(3)]
                 live = state_ref[12:13, sl]
 
-            contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), live = \
-                _bounce_once(
-                    (sph_ref, pln_ref, aux_ref, seed_ref),
-                    (n_sph, n_pln),
-                    (ox, oy, oz, dx, dy, dz, tr, tg, tb, live),
-                    u01,
-                    s_pad=s_pad, p_pad=p_pad, block=block, scan="lean",
-                    mxu=False, cull=cull, cull_group=cull_group,
-                    rng_mode=rng_mode, skip_cond=not gen, dbg=dbg,
-                    extract_window=extract_window)
+            out = _bounce_once(
+                (sph_ref, pln_ref, aux_ref, seed_ref),
+                (n_sph, n_pln),
+                (ox, oy, oz, dx, dy, dz, tr, tg, tb, live),
+                u01,
+                s_pad=s_pad, p_pad=p_pad, block=block, scan="lean",
+                mxu=False, cull=cull, cull_group=cull_group,
+                rng_mode=rng_mode, skip_cond=not gen, dbg=dbg,
+                extract_window=extract_window, want_record=record)
+            contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), live = out[:5]
             acc = [acc[c] + contrib[c] for c in range(3)]
 
             out_ref[0:1, sl] = ox
@@ -291,23 +313,32 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
             out_ref[10:11, sl] = acc[1]
             out_ref[11:12, sl] = acc[2]
             out_ref[12:13, sl] = live
-            out_ref[13:14, sl] = pix.astype(f32)
-            out_ref[14:15, sl] = smp.astype(f32)
+            out_ref[13:14, sl] = jax.lax.bitcast_convert_type(
+                idx | jnp.int32(_ID_TAG), f32)
+            if record:
+                # the bounce's winner word (see _bounce_once want_record)
+                # rides spare row 14 as a tagged int32 bit-pattern: the
+                # ONLY stash the wavefront backward needs per bounce
+                out_ref[14:15, sl] = jax.lax.bitcast_convert_type(
+                    out[5] | jnp.int32(_ID_TAG), f32)
+            else:
+                out_ref[14:15, sl] = jnp.zeros(shape, f32)
             out_ref[15:16, sl] = jnp.zeros(shape, f32)
 
     return kernel
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=64)
 def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                       center_sample, gen, block, cull, cull_group, n_tiles,
-                      interpret, wf_rows, dbg=(), extract_window=0):
+                      interpret, wf_rows, dbg=(), extract_window=0,
+                      record=False):
     kernel = _make_wf_kernel(
         width=width, height=height, s_pad=s_pad, p_pad=p_pad,
         max_bounces=max_bounces, rng_mode=rng_mode,
         center_sample=center_sample, gen=gen, block=block, cull=cull,
         cull_group=cull_group, wf_rows=wf_rows, dbg=dbg,
-        extract_window=extract_window,
+        extract_window=extract_window, record=record,
     )
     span = wf_rows * _LANES
     in_specs = [
@@ -480,7 +511,8 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                 state = jax.lax.switch(
                     idx, [make_tail(nt) for nt in bucket_tiles], state)
             # ---- assemble: back to (sample, pixel) order ----------------
-            ray_id = (state[14] * jnp.float32(n_pix) + state[13])
+            ray_id = (jax.lax.bitcast_convert_type(state[13], jnp.int32)
+                      & jnp.int32(_ID_MASK))
             out = jax.lax.sort(
                 (ray_id, state[9], state[10], state[11]),
                 num_keys=1, is_stable=True)
@@ -551,11 +583,12 @@ def render_forward_wavefront(
     if max_bounces is None:
         max_bounces = scene.max_bounces
     spp_chunk = max(1, min(spp_chunk, spp))
-    if w * h * spp_chunk > (1 << 24):
-        # pixel/sample ids ride f32 state rows; keep them exact
-        spp_chunk = max(1, (1 << 24) // (w * h))
-    if w * h > (1 << 24):
-        raise ValueError("frame too large for exact f32 pixel ids")
+    if w * h * spp_chunk > _ID_MASK:
+        # ray ids ride a tagged int32 bit-pattern in a state row (bits
+        # 0-29); keep them exact
+        spp_chunk = max(1, _ID_MASK // (w * h))
+    if w * h > _ID_MASK:
+        raise ValueError("frame too large for exact tagged int32 ray ids")
 
     s_cols, p_cols = _flatten_primitives(scene, personality)
     s_pad = _bucket(scene.spheres.count)
@@ -695,10 +728,10 @@ def render_forward_wavefront_sharded(
     if max_bounces is None:
         max_bounces = scene.max_bounces
     spp_chunk = max(1, min(spp_chunk, spp))
-    if n_pix * spp_chunk > (1 << 24):
-        spp_chunk = max(1, (1 << 24) // n_pix)
-    if n_pix > (1 << 24):
-        raise ValueError("frame too large for exact f32 pixel ids")
+    if n_pix * spp_chunk > _ID_MASK:
+        spp_chunk = max(1, _ID_MASK // n_pix)
+    if n_pix > _ID_MASK:
+        raise ValueError("frame too large for exact tagged int32 ray ids")
 
     s_cols, p_cols = _flatten_primitives(scene, personality)
     s_pad = _bucket(scene.spheres.count)
@@ -814,7 +847,8 @@ def render_forward_wavefront_sharded(
         # [off, off + local_tiles*span); ascending ray_id order within the
         # shard == global position order, so the out-spec concatenation
         # yields the full-frame ray-ordered radiance
-        ray_id = (state[14] * jnp.float32(n_pix) + state[13])
+        ray_id = (jax.lax.bitcast_convert_type(state[13], jnp.int32)
+                  & jnp.int32(_ID_MASK))
         out = jax.lax.sort((ray_id, state[9], state[10], state[11]),
                            num_keys=1, is_stable=True)
         return jnp.stack(out[1:], axis=-1)  # (local_rays, 3)
