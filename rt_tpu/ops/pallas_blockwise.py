@@ -243,7 +243,7 @@ def _seed_table(s_tab: jax.Array, block: int) -> jax.Array:
 
 def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
                  mxu, cull, cull_group, rng_mode, skip_cond, dbg=(),
-                 extract_window=0):
+                 extract_window=0, want_record=False):
     """ONE path-tracing bounce for a 128-lane ray tile: blockwise
     closest-hit scan (payload / lean / culled / MXU variants) + sky on
     miss + lambert/metal/dielectric scatter (mg_ray_tracer.cpp:109-174,
@@ -256,7 +256,20 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
     called exactly 4 times (unit-vector triple + coin).  ``skip_cond``
     wraps the scan in a dead-tile early-out lax.cond.  Returns
     ``(contrib_rgb, new_o, new_d, new_thr, new_live_f)`` where
-    ``contrib_rgb`` is this bounce's (masked) radiance contribution."""
+    ``contrib_rgb`` is this bounce's (masked) radiance contribution.
+
+    ``want_record=True`` (lean scan only) appends a per-lane int32 WINNER
+    WORD to the return tuple: the winner's table row in bits 0-23, bit 24
+    set for a plane winner, bit 25 set on miss.  (All-positive, low-bits
+    encoding: the word later rides an f32 state row as a bit pattern, so
+    it must stay out of both the subnormal range — TPU flushes
+    subnormals to zero — and the NaN range; the carrier adds a bit-30
+    exponent tag, see pallas_wavefront.)  This is the one piece of the
+    argmin the wavefront backward cannot recompute cheaply — every other
+    discrete decision (root choice, degenerate lambert, metal absorb,
+    Fresnel coin, TIR) is re-derived in the reverse from the winner
+    payload + the counter-hash draws, the slim-stash convention of
+    rt_tpu.ops.pallas_grad."""
     f32 = jnp.float32
     sph_ref, pln_ref, aux_ref, seed_ref = refs
     n_sph, n_pln = counts
@@ -707,6 +720,9 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
             sel(8), sel(9), isplf,
         )
 
+    assert not want_record or scan == "lean", \
+        "winner-word records need the lean scan's winner-row carry"
+
     def do_scan(_):
         rec = jax.lax.fori_loop(0, n_pblk, plane_fn,
                                 lean_init if scan == "lean"
@@ -715,20 +731,24 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
             rec = lean_seed(rec)
         rec = jax.lax.fori_loop(0, n_sgrp if cull else n_sblk,
                                 sphere_fn, rec)
-        return extract(rec) if scan == "lean" else rec
+        if scan != "lean":
+            return rec
+        out = extract(rec)
+        return out + (rec[1],) if want_record else out
 
+    skip_val = init + (zero,) if want_record else init
     if skip_cond:
         # dead-tile early-out: when every ray in the tile has
         # terminated, the O(N) scan is skipped (init -> miss,
         # and the sky/throughput math is masked by `lv` anyway).
         any_live = jnp.sum(live) > 0.0
         hitrec = jax.lax.cond(any_live, do_scan,
-                              lambda _: init, None)
+                              lambda _: skip_val, None)
     else:
         hitrec = do_scan(None)
 
     (best_t, bcx, bcy, bcz, bpnx, bpny, bpnz,
-     bar, bag, bab, brf, brg, bcl, bpl) = hitrec
+     bar, bag, bab, brf, brg, bcl, bpl) = hitrec[:14]
 
     hit = best_t < f32(1e37)
 
@@ -837,6 +857,15 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
     dx = nlh * dx + lh * ndx
     dy = nlh * dy + lh * ndy
     dz = nlh * dz + lh * ndz
+    if want_record:
+        browf = hitrec[14]
+        rec_word = jnp.where(
+            hit,
+            browf.astype(jnp.int32)
+            | jnp.where(bpl > 0.0, jnp.int32(1 << 24), jnp.int32(0)),
+            jnp.int32(1 << 25))
+        return (contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), af,
+                rec_word)
     return contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), af
 
 
