@@ -141,15 +141,49 @@ def pallas_loss_and_grad(
     """
     import jax.numpy as jnp
 
-    from .ops.pallas_render import _flatten_primitives
+    from .ops.pallas_render import _flatten_primitives, pallas_supported
 
     w, h = size
     concrete = apply_params(scene, jax.tree_util.tree_map(
         lambda x: jnp.asarray(x), params))
+    use_boxes = include_boxes and scene.boxes.count > 0
+    seeds = jnp.asarray([seed * 100003 + s for s in range(spp)], jnp.int32)
+
+    if not pallas_supported(concrete, include_boxes):
+        # past the unrolled cap: the BLOCKWISE record pass (runtime
+        # tables — no recompiles on parameter changes, round 5)
+        from .ops.pallas_blockwise import (_bucket, _padded_box_table,
+                                           _padded_table,
+                                           blockwise_supported)
+        from .ops.pallas_render import _flatten_boxes
+
+        if not blockwise_supported(concrete, include_boxes):
+            raise ValueError("scene exceeds every record-kernel limit")
+        s_cols, p_cols = _flatten_primitives(concrete, personality)
+        s_pad = _bucket(concrete.spheres.count)
+        p_pad = _bucket(concrete.planes.count)
+        s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
+        p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
+        btab = ()
+        b_pad = 0
+        if use_boxes:
+            b_cols = _flatten_boxes(concrete, personality)
+            b_pad = _bucket(concrete.boxes.count)
+            btab = (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+        run = _records_pipeline_bw(
+            width=w, height=h, spp=spp, max_bounces=max_bounces,
+            personality=personality, rng_mode=rng_mode, rng_impl=rng_impl,
+            interpret=interpret, include_boxes=use_boxes,
+            s_pad=s_pad, p_pad=p_pad, b_pad=b_pad,
+            n_sph=concrete.spheres.count, n_pln=concrete.planes.count,
+            n_box=concrete.boxes.count,
+        )
+        return run(params, scene, jnp.asarray(target), seeds,
+                   s_tab, p_tab, *btab)
+
     s_cols, p_cols = _flatten_primitives(concrete, personality)
     key_bytes = (s_cols.tobytes(), p_cols.tobytes())
     key_shapes = (s_cols.shape, p_cols.shape)
-    use_boxes = include_boxes and scene.boxes.count > 0
     if use_boxes:
         from .ops.pallas_render import _flatten_boxes
 
@@ -164,7 +198,6 @@ def pallas_loss_and_grad(
         personality=personality, rng_mode=rng_mode,
         rng_impl=rng_impl, interpret=interpret, include_boxes=use_boxes,
     )
-    seeds = jnp.asarray([seed * 100003 + s for s in range(spp)], jnp.int32)
     return run(params, scene, jnp.asarray(target), seeds)
 
 
@@ -253,6 +286,82 @@ def _records_pipeline(scene_bytes, shapes, static_key, *, width, height, spp,
                 "urx": urx, "ury": ury, "urz": urz, "coin": coin,
                 "jitter": jit_,
             }))
+
+        def loss_fn(p):
+            sc = apply_params(scene, p)
+            acc = jnp.zeros((n, 3), jnp.float32)
+            for s, rec in enumerate(rec_sets):
+                o, d = generate_rays(sc.camera, (w, h), grid + rec["jitter"])
+                pr = PathRecords(
+                    kind=rec["kind"], idx=rec["idx"], root_lo=rec["root_lo"],
+                    live_in=rec["live_in"], miss=rec["miss"],
+                    alive_out=rec["alive_out"], reflect_bit=rec["reflect_bit"],
+                    lam_deg=rec["lam_deg"],
+                )
+                acc = acc + replay_radiance(
+                    sc, o, d, None, pr,
+                    personality=personality, max_bounces=max_bounces,
+                    draws=(rec["ur"], rec["coin"]),
+                    include_boxes=include_boxes,
+                )
+            img = (acc / spp).reshape(h, w, 3)
+            return jnp.mean((img - target) ** 2)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _records_pipeline_bw(*, width, height, spp, max_bounces, personality,
+                         rng_mode, rng_impl, interpret, include_boxes,
+                         s_pad, p_pad, b_pad, n_sph, n_pln, n_box):
+    """Blockwise-record twin of :func:`_records_pipeline` for scenes past
+    the unrolled kernel's cap: the record pass streams RUNTIME primitive
+    tables (no recompiles when parameter values change between calls —
+    the property the baked-constant pipeline gives up), the replay is the
+    same differentiable jnp pass.  Covers the --boxes extension (kind=3
+    records from the blockwise slab scan)."""
+    from .camera import generate_rays
+    from .integrator import _pixel_grid
+    from .ops.pallas_blockwise import _compiled_bw_record
+    from .ops.pallas_render import records_to_flat
+    from .replay import PathRecords, replay_radiance
+
+    w, h = width, height
+    n = w * h
+    block = 8 if max(s_pad, p_pad) <= 128 else 128
+    rec_calls = [
+        _compiled_bw_record(width=w, height=h, s_pad=s_pad, p_pad=p_pad,
+                            max_bounces=max_bounces, rng_mode=rng_mode,
+                            rng_impl=rng_impl, center_sample=(s == 0),
+                            interpret=interpret, block=block, b_pad=b_pad)
+        for s in range(min(spp, 2))
+    ]
+    grid = _pixel_grid((w, h))
+
+    @jax.jit
+    def run(params, scene, target, seeds, s_tab, p_tab, *btab):
+        cam = jnp.concatenate([
+            jax.lax.stop_gradient(
+                jnp.asarray(scene.camera.position, jnp.float32)),
+            jax.lax.stop_gradient(
+                jnp.asarray(scene.camera.rotation, jnp.float32)).reshape(-1),
+            jnp.asarray([np.tan(scene.camera.vfov * 0.5), w / h,
+                         scene.camera.near, 0.0], jnp.float32),
+        ])
+        rec_sets = []
+        for s in range(spp):
+            call = rec_calls[0] if s == 0 else rec_calls[1 % len(rec_calls)]
+            meta = jnp.stack([seeds[s], jnp.int32(n_sph), jnp.int32(n_pln),
+                              jnp.int32(0), jnp.int32(n_box)])
+            out = call(meta, cam, s_tab, p_tab, *btab)
+            _, kind, idx, bits, urx, ury, urz, coin, jit_ = out
+            rec_sets.append(records_to_flat({
+                "kind": kind, "idx": idx, "bits": bits,
+                "urx": urx, "ury": ury, "urz": urz, "coin": coin,
+                "jitter": jit_,
+            }, n, max_bounces))
 
         def loss_fn(p):
             sc = apply_params(scene, p)

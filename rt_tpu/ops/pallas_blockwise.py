@@ -96,13 +96,14 @@ _COLS = 16        # padded payload columns (10 used)
 def blockwise_supported(scene, include_boxes: bool = False) -> bool:
     """Whether the blockwise megakernel can handle this scene.  Box scenes
     are fine under tracer semantics (the reference's box stub never hits,
-    mg_ray_tracer.cpp:89-93 — the kernel simply has no box scan); the
-    ``--boxes`` extension (include_boxes=True) is only in the unrolled
-    kernel and the jnp path."""
-    return (
-        scene.spheres.count + scene.planes.count <= MAX_BLOCKWISE_PRIMS
-        and not (include_boxes and scene.boxes.count > 0)
-    )
+    mg_ray_tracer.cpp:89-93 — the kernel simply has no box scan), and as
+    of round 5 the ``--boxes`` extension (include_boxes=True) runs
+    blockwise too: boxes get their own runtime table + slab-test scan in
+    _bounce_once."""
+    total = scene.spheres.count + scene.planes.count
+    if include_boxes:
+        total += scene.boxes.count
+    return total <= MAX_BLOCKWISE_PRIMS
 
 
 def _bucket(n: int) -> int:
@@ -127,6 +128,17 @@ def _padded_table(cols: np.ndarray, bucket: int,
     out[:, 10] = np.arange(bucket, dtype=np.float32)
     if gidx is not None:
         out[:n, 10] = gidx.astype(np.float32)
+    return out
+
+
+def _padded_box_table(b_cols: np.ndarray, bucket: int) -> np.ndarray:
+    """(12, count) box columns (pallas_render._flatten_boxes: centre,
+    half-extents, albedo rgb, refl, rough, class) -> (bucket, 16) table.
+    Column 12 carries the original index (the among-boxes tie-break)."""
+    out = np.zeros((bucket, _COLS), np.float32)
+    n = b_cols.shape[1]
+    out[:n, :12] = b_cols.T
+    out[:, 12] = np.arange(bucket, dtype=np.float32)
     return out
 
 
@@ -243,7 +255,7 @@ def _seed_table(s_tab: jax.Array, block: int) -> jax.Array:
 
 def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
                  mxu, cull, cull_group, rng_mode, skip_cond, dbg=(),
-                 extract_window=0, want_record=False):
+                 extract_window=0, want_record=False, b_pad=0):
     """ONE path-tracing bounce for a 128-lane ray tile: blockwise
     closest-hit scan (payload / lean / culled / MXU variants) + sky on
     miss + lambert/metal/dielectric scatter (mg_ray_tracer.cpp:109-174,
@@ -258,6 +270,19 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
     ``(contrib_rgb, new_o, new_d, new_thr, new_live_f)`` where
     ``contrib_rgb`` is this bounce's (masked) radiance contribution.
 
+    ``b_pad > 0`` (lean scan only) enables the ``--boxes`` extension:
+    ``refs`` carries a fifth (b_pad, 16) box table (cols 0-5
+    centre/half-extents, 6-8 albedo, 9 refl, 10 rough, 11 class, 12
+    original index) and ``counts`` a third n_boxes entry.  Boxes are
+    scanned LAST with strict '<' (they lose exact ties to both earlier
+    classes; first original index wins among boxes) and the winner's
+    normal is the dominant-axis slab face — exactly
+    ops/intersect.hit_boxes + the unrolled kernel's --boxes block
+    (pallas_render.py; the reference's own tracers never hit boxes,
+    mg_ray_tracer.cpp:89-93 — this is the repo's extension at blockwise
+    scale).  The lean carry's kind slot becomes {0 sphere, 1 plane,
+    2 box}.
+
     ``want_record=True`` (lean scan only) appends a per-lane int32 WINNER
     WORD to the return tuple: the winner's table row in bits 0-23, bit 24
     set for a plane winner, bit 25 set on miss.  (All-positive, low-bits
@@ -271,8 +296,12 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
     payload + the counter-hash draws, the slim-stash convention of
     rt_tpu.ops.pallas_grad."""
     f32 = jnp.float32
-    sph_ref, pln_ref, aux_ref, seed_ref = refs
-    n_sph, n_pln = counts
+    sph_ref, pln_ref, aux_ref, seed_ref = refs[:4]
+    box_ref = refs[4] if len(refs) > 4 else None
+    n_sph, n_pln = counts[:2]
+    n_box = counts[2] if len(counts) > 2 else 0
+    assert b_pad == 0 or (scan == "lean" and not mxu), \
+        "--boxes needs the lean scan"
     ox, oy, oz, dx, dy, dz, tr, tg, tb, live = rays
     shape = (1, _LANES)
     zero = jnp.zeros(shape, f32)
@@ -283,6 +312,15 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
     prowf = prowi.astype(f32)
     srowi = jax.lax.broadcasted_iota(jnp.int32, (s_block, _LANES), 0)
     srowf = srowi.astype(f32)
+    if b_pad:
+        b_block = min(block, b_pad)
+        browi = jax.lax.broadcasted_iota(jnp.int32, (b_block, _LANES), 0)
+        browf = browi.astype(f32)
+        # slab-test reciprocals, shared across box blocks (exactly
+        # ops/intersect.hit_boxes / the unrolled kernel's clamp)
+        binvx = 1.0 / jnp.where(jnp.abs(dx) > 1e-12, dx, f32(1e-12))
+        binvy = 1.0 / jnp.where(jnp.abs(dy) > 1e-12, dy, f32(1e-12))
+        binvz = 1.0 / jnp.where(jnp.abs(dz) > 1e-12, dz, f32(1e-12))
     _dot = functools.partial(
         jax.lax.dot_general,
         precision=jax.lax.Precision.HIGHEST,
@@ -559,6 +597,47 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
                 jnp.where(better, wingidx, bgidxf),
                 jnp.where(better, zero, isplf))
 
+    def lean_boxes(ib, carry):
+        blk = box_ref[pl.ds(ib * b_block, b_block), :]
+        bcx_ = blk[:, 0:1]
+        bcy_ = blk[:, 1:2]
+        bcz_ = blk[:, 2:3]
+        bex_ = blk[:, 3:4]
+        bey_ = blk[:, 4:5]
+        bez_ = blk[:, 5:6]
+        tax = (bcx_ - bex_ - ox) * binvx
+        tbx = (bcx_ + bex_ - ox) * binvx
+        tay = (bcy_ - bey_ - oy) * binvy
+        tby = (bcy_ + bey_ - oy) * binvy
+        taz = (bcz_ - bez_ - oz) * binvz
+        tbz = (bcz_ + bez_ - oz) * binvz
+        tmn = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
+                                      jnp.minimum(tay, tby)),
+                          jnp.minimum(taz, tbz))
+        tmx = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
+                                      jnp.maximum(tay, tby)),
+                          jnp.maximum(taz, tbz))
+        tt = jnp.where(tmn >= _MIN_HIT, tmn, tmx)
+        valid = (ib * b_block + browi) < n_box
+        ok = valid & (tmx >= tmn) & (tt >= _MIN_HIT)
+        t = jnp.where(ok, tt, f32(_BIG))
+        gcol = blk[:, 12:13]
+        tmin = jnp.min(t, axis=0, keepdims=True)
+        wingidx = jnp.min(jnp.where(t == tmin, gcol, f32(1e9)),
+                          axis=0, keepdims=True)
+        wmsk = ((t == tmin) & (gcol == wingidx)).astype(f32)
+        winrow = jnp.sum(wmsk * browf, axis=0, keepdims=True)
+        best_t, brow, bgidxf, kindf = carry
+        # boxes are scanned last, strict '<': they lose exact ties to
+        # both planes and spheres (ops/intersect.closest_hit "tracer"
+        # tie order); first original index wins among boxes
+        better = tmin < best_t
+        gwin = f32(1.0) * ib * b_block + winrow
+        return (jnp.where(better, tmin, best_t),
+                jnp.where(better, gwin, brow),
+                jnp.where(better, wingidx, bgidxf),
+                jnp.where(better, f32(2.0), kindf))
+
     def lean_seed(carry):
         """Partial scan over the per-block representative subset (see
         _seed_table) — tightens best_t so the grouped cull's t-window
@@ -651,7 +730,8 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
             # right shapes/costs elsewhere)
             return (best_t, zero, zero, zero, zero, zero, zero,
                     jnp.where(hitb, f32(0.5), zero), zero, zero, one,
-                    zero, zero, isplf)
+                    zero, zero, isplf) + \
+                ((zero, zero, zero, one, one, one) if b_pad else ())
         # Mosaic iota must be integer-typed; bidx is a small
         # exact integer in f32, so the int cast is lossless
         bidx_i = bidxf.astype(jnp.int32)
@@ -698,7 +778,7 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
             s_pay = full_sphere_extract(None)
         p_iota = jax.lax.broadcasted_iota(
             jnp.int32, (p_pad, _LANES), 0)
-        p_oh = ((p_iota == bidx_i) & (isplf > 0.0)).astype(f32)
+        p_oh = ((p_iota == bidx_i) & (isplf == 1.0)).astype(f32)
         if mxu:
             p_pay = _dot(pln_ref[...], p_oh,
                          (((1,), (0,)), ((), ())))
@@ -706,9 +786,32 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
             p_pay = _dot(pln_ref[...], p_oh,
                          (((0,), (0,)), ((), ())))
         pick = lambda pay, c: pay[c:c + 1]
-        sel = lambda c: jnp.where(isplf > 0.0, pick(p_pay, c),
-                                  pick(s_pay, c))
-        return (
+        if b_pad:
+            b_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (b_pad, _LANES), 0)
+            b_oh = ((b_iota == bidx_i) & (isplf == 2.0)).astype(f32)
+            b_pay = _dot(box_ref[...], b_oh, (((0,), (0,)), ((), ())))
+            isbox = isplf == 2.0
+
+            def sel(c):
+                v = jnp.where(isplf == 1.0, pick(p_pay, c),
+                              pick(s_pay, c))
+                # box material columns live at 6-11 (geometry takes 0-5)
+                return jnp.where(isbox, pick(b_pay, c + 2), v)
+
+            box_geom = (
+                pick(b_pay, 0), pick(b_pay, 1), pick(b_pay, 2),
+                # extents clamp mirrors the unrolled kernel (div-safe
+                # local coordinates for the face normal)
+                jnp.maximum(pick(b_pay, 3), f32(1e-12)),
+                jnp.maximum(pick(b_pay, 4), f32(1e-12)),
+                jnp.maximum(pick(b_pay, 5), f32(1e-12)),
+            )
+        else:
+            sel = lambda c: jnp.where(isplf > 0.0, pick(p_pay, c),
+                                      pick(s_pay, c))
+            box_geom = ()
+        out = (
             best_t,
             pick(s_pay, 0), pick(s_pay, 1), pick(s_pay, 2),
             pick(p_pay, 0), pick(p_pay, 1), pick(p_pay, 2),
@@ -718,10 +821,17 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
             # math divides by refl before the live mask applies)
             jnp.where(hitb, sel(7), one),
             sel(8), sel(9), isplf,
-        )
+        ) + box_geom
+        if want_record == "replay":
+            # the replay records need the winner's near-root flag, which
+            # needs the sphere radius the lean extract otherwise drops
+            out = out + (pick(s_pay, 3),)
+        return out
 
     assert not want_record or scan == "lean", \
         "winner-word records need the lean scan's winner-row carry"
+
+    n_bblk = ((n_box + b_block - 1) // b_block) if b_pad else 0
 
     def do_scan(_):
         rec = jax.lax.fori_loop(0, n_pblk, plane_fn,
@@ -731,12 +841,20 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
             rec = lean_seed(rec)
         rec = jax.lax.fori_loop(0, n_sgrp if cull else n_sblk,
                                 sphere_fn, rec)
+        if b_pad:
+            rec = jax.lax.fori_loop(0, n_bblk, lean_boxes, rec)
         if scan != "lean":
             return rec
         out = extract(rec)
         return out + (rec[1],) if want_record else out
 
-    skip_val = init + (zero,) if want_record else init
+    skip_val = init
+    if b_pad:
+        skip_val = skip_val + (zero, zero, zero, one, one, one)
+    if want_record == "replay":
+        skip_val = skip_val + (zero,)   # radius
+    if want_record:
+        skip_val = skip_val + (zero,)   # winner row
     if skip_cond:
         # dead-tile early-out: when every ray in the tile has
         # terminated, the O(N) scan is skipped (init -> miss,
@@ -768,10 +886,31 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
     snx, sny, snz = hx - bcx, hy - bcy, hz - bcz
     sinv = jax.lax.rsqrt(
         jnp.maximum(snx * snx + sny * sny + snz * snz, 1e-30))
-    ispl = bpl > 0.0
+    ispl = bpl == 1.0
     nx = jnp.where(ispl, bpnx, snx * sinv)
     ny = jnp.where(ispl, bpny, sny * sinv)
     nz = jnp.where(ispl, bpnz, snz * sinv)
+    if b_pad:
+        # outward slab-face normal: sign of the dominant component of
+        # the extent-scaled local hit position (first axis wins a tie —
+        # jnp argmax semantics; pallas_render's --boxes block)
+        (bbcx, bbcy, bbcz, bbex, bbey, bbez) = hitrec[14:20]
+        isbx = bpl == 2.0
+        blx = (hx - bbcx) / bbex
+        bly = (hy - bbcy) / bbey
+        blz = (hz - bbcz) / bbez
+        axx = jnp.abs(blx)
+        axy = jnp.abs(bly)
+        axz = jnp.abs(blz)
+        is_x = (axx >= axy) & (axx >= axz)
+        is_y = (~is_x) & (axy >= axz)
+        is_z = ~(is_x | is_y)
+        bnx = jnp.where(is_x, jnp.sign(blx), 0.0)
+        bny = jnp.where(is_y, jnp.sign(bly), 0.0)
+        bnz = jnp.where(is_z, jnp.sign(blz), 0.0)
+        nx = jnp.where(isbx, bnx, nx)
+        ny = jnp.where(isbx, bny, ny)
+        nz = jnp.where(isbx, bnz, nz)
 
     ux = u01()
     uy = u01()
@@ -851,18 +990,47 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
 
     lh = live_h.astype(f32)
     nlh = 1.0 - lh
+    ox0r, oy0r, oz0r = ox, oy, oz   # pre-bounce ray (record root recompute)
+    dx0r, dy0r, dz0r = dx, dy, dz
     ox = nlh * ox + lh * hx
     oy = nlh * oy + lh * hy
     oz = nlh * oz + lh * hz
     dx = nlh * dx + lh * ndx
     dy = nlh * dy + lh * ndy
     dz = nlh * dz + lh * ndz
+    if want_record == "replay":
+        # full replay-record set (rt_tpu.replay.PathRecords layout — the
+        # render_record_pallas bit packing, records_to_flat decodes it)
+        winrow = hitrec[-1]
+        radw = hitrec[-2]
+        # near-root flag of the sphere winner (recomputed from the
+        # extracted payload; replay reads it only for kind==1)
+        r_ocx, r_ocy, r_ocz = ox0r - bcx, oy0r - bcy, oz0r - bcz
+        r_bq = r_ocx * dx0r + r_ocy * dy0r + r_ocz * dz0r
+        r_c0 = (r_ocx * r_ocx + r_ocy * r_ocy + r_ocz * r_ocz
+                - radw * radw)
+        r_disc = r_bq * r_bq - r_c0
+        r_t0 = -r_bq - jnp.sqrt(jnp.maximum(r_disc, 0.0))
+        root_f = (r_t0 >= f32(_MIN_HIT)).astype(f32)
+        kindv = jnp.where(
+            hit, jnp.where(bpl == 1.0, f32(2.0),
+                           jnp.where(bpl == 2.0, f32(3.0), f32(1.0))),
+            f32(0.0))
+        bits_f = (root_f
+                  + 2.0 * refl_bit.astype(f32)
+                  + 4.0 * ldeg.astype(f32)
+                  + 8.0 * (lv & ~hit).astype(f32)
+                  + 16.0 * lv.astype(f32)
+                  + 32.0 * af)
+        return (contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), af,
+                (kindv, winrow, bits_f, ux, uy, uz, coin))
     if want_record:
-        browf = hitrec[14]
+        winrow = hitrec[-1]
         rec_word = jnp.where(
             hit,
-            browf.astype(jnp.int32)
-            | jnp.where(bpl > 0.0, jnp.int32(1 << 24), jnp.int32(0)),
+            winrow.astype(jnp.int32)
+            | jnp.where(bpl == 1.0, jnp.int32(1 << 24), jnp.int32(0))
+            | jnp.where(bpl == 2.0, jnp.int32(1 << 26), jnp.int32(0)),
             jnp.int32(1 << 25))
         return (contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), af,
                 rec_word)
@@ -872,7 +1040,7 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
 def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                            max_bounces, rng_mode, rng_impl, center_sample,
                            block=_BLOCK, mxu=False, scan="payload",
-                           cull=False, cull_group=4):
+                           cull=False, cull_group=4, b_pad=0):
     """Kernel body.  Refs: meta (SMEM scalars: seed, sphere count, plane
     count), cam (SMEM scalars), sphere table (s_pad, 16) VMEM — or
     transposed (16, s_pad) when ``mxu`` — plane table likewise, [aux block
@@ -902,6 +1070,10 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
     )
 
     def kernel(meta_ref, cam_ref, sph_ref, pln_ref, *rest):
+        if b_pad:
+            box_ref, rest = rest[0], rest[1:]
+        else:
+            box_ref = None
         if cull:
             aux_ref, seed_ref, out_ref = rest
         else:
@@ -977,13 +1149,16 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
                     _bounce_once(
                         (sph_ref, pln_ref,
                          aux_ref if cull else None,
-                         seed_ref if cull else None),
-                        (n_sph, n_pln),
+                         seed_ref if cull else None,
+                         box_ref),
+                        (n_sph, n_pln,
+                         meta_ref[4] if b_pad else 0),
                         (ox, oy, oz, dx, dy, dz, tr, tg, tb, live),
                         u01,
                         s_pad=s_pad, p_pad=p_pad, block=block, scan=scan,
                         mxu=mxu, cull=cull, cull_group=cull_group,
-                        rng_mode=rng_mode, skip_cond=(b > 0))
+                        rng_mode=rng_mode, skip_cond=(b > 0),
+                        b_pad=b_pad)
                 acc[0] += contrib[0]
                 acc[1] += contrib[1]
                 acc[2] += contrib[2]
@@ -999,12 +1174,12 @@ def _make_blockwise_kernel(*, width, height, s_pad, p_pad, spp_unroll,
 def _compiled_bw(*, width, height, s_pad, p_pad, spp_unroll, max_bounces,
                  rng_mode, rng_impl, center_sample, interpret, block=_BLOCK,
                  n_tiles=None, mxu=False, scan="payload", cull=False,
-                 cull_group=4):
+                 cull_group=4, b_pad=0):
     kernel = _make_blockwise_kernel(
         width=width, height=height, s_pad=s_pad, p_pad=p_pad,
         spp_unroll=spp_unroll, max_bounces=max_bounces, rng_mode=rng_mode,
         rng_impl=rng_impl, center_sample=center_sample, block=block, mxu=mxu,
-        scan=scan, cull=cull, cull_group=cull_group,
+        scan=scan, cull=cull, cull_group=cull_group, b_pad=b_pad,
     )
     if n_tiles is None:
         n = width * height
@@ -1017,6 +1192,9 @@ def _compiled_bw(*, width, height, s_pad, p_pad, spp_unroll, max_bounces,
         pl.BlockSpec(p_spec, lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if b_pad:
+        in_specs.append(pl.BlockSpec((b_pad, _COLS), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
     if cull:
         nb_pad = -(-(s_pad // block) // 8) * 8
         in_specs.append(pl.BlockSpec((nb_pad, 128), lambda i, *_: (0, 0),
@@ -1043,7 +1221,7 @@ def _compiled_bw(*, width, height, s_pad, p_pad, spp_unroll, max_bounces,
 def _compiled_frame_bw(*, width, height, s_pad, p_pad, spp, spp_unroll,
                        max_bounces, rng_mode, rng_impl, gamma, center_first,
                        interpret, block=_BLOCK, mxu=False, scan="payload",
-                       cull=False, cull_group=4):
+                       cull=False, cull_group=4, b_pad=0):
     """Jitted frame: chained sample-chunk kernels + mean + gamma + crop in
     ONE dispatch; primitive tables and camera are traced inputs."""
     chunk_sizes = []
@@ -1058,18 +1236,18 @@ def _compiled_frame_bw(*, width, height, s_pad, p_pad, spp, spp_unroll,
                      rng_impl=rng_impl,
                      center_sample=(i == 0 and center_first),
                      interpret=interpret, block=block, mxu=mxu, scan=scan,
-                     cull=cull, cull_group=cull_group)
+                     cull=cull, cull_group=cull_group, b_pad=b_pad)
         for i, k in enumerate(chunk_sizes)
     ]
     n = width * height
 
     @jax.jit
-    def run(meta_rows, cam, s_tab, p_tab):
+    def run(meta_rows, cam, s_tab, p_tab, *btab):
         aux = ((_block_bounds(s_tab, block),
                 _seed_table(s_tab, block)) if cull else ())
         total = None
         for ci, call in enumerate(calls):
-            out = call(meta_rows[ci], cam, s_tab, p_tab, *aux)
+            out = call(meta_rows[ci], cam, s_tab, p_tab, *btab, *aux)
             total = out if total is None else total + out
         img = total[:, :, 0, :] * jnp.float32(1.0 / spp)
         if gamma:
@@ -1112,8 +1290,7 @@ def render_forward_blockwise(
     if not blockwise_supported(scene, include_boxes):
         raise ValueError(
             "scene exceeds the blockwise megakernel limits "
-            f"({MAX_BLOCKWISE_PRIMS} primitives; --boxes needs the unrolled "
-            "kernel or the jnp path)"
+            f"({MAX_BLOCKWISE_PRIMS} primitives)"
         )
     w, h = size
     if spp is None:
@@ -1122,6 +1299,12 @@ def render_forward_blockwise(
         max_bounces = scene.max_bounces
     spp_unroll = min(spp_unroll, spp)
 
+    boxes_on = include_boxes and scene.boxes.count > 0
+    if boxes_on:
+        # the --boxes slab scan lives in the lean path only
+        if mxu:
+            raise ValueError("--boxes is lean-scan only (no MXU variant)")
+        scan = "lean"
     s_cols, p_cols = _flatten_primitives(scene, personality)
     s_pad = _bucket(scene.spheres.count)
     p_pad = _bucket(scene.planes.count)
@@ -1172,13 +1355,22 @@ def render_forward_blockwise(
         s_tab = jnp.asarray(_padded_table(s_cols, s_pad, gidx))
         p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
 
+    b_pad = 0
+    btab = ()
+    if boxes_on:
+        from .pallas_render import _flatten_boxes
+
+        b_cols = _flatten_boxes(scene, personality)
+        b_pad = _bucket(scene.boxes.count)
+        btab = (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+
     run, n_chunks = _compiled_frame_bw(
         width=w, height=h, s_pad=s_pad, p_pad=p_pad, spp=spp,
         spp_unroll=spp_unroll, max_bounces=max_bounces, rng_mode=rng_mode,
         rng_impl=rng_impl, gamma=gamma,
         center_first=(True if center_sample is None else center_sample),
         interpret=interpret, block=block, mxu=mxu, scan=scan, cull=cull,
-        cull_group=_auto_cull_group(s_pad, block),
+        cull_group=_auto_cull_group(s_pad, block), b_pad=b_pad,
     )
 
     cam = jnp.concatenate([
@@ -1189,15 +1381,17 @@ def render_forward_blockwise(
         ], jnp.float32),
     ])
     metas = _meta_rows(scene, seed, n_chunks)
-    return run(metas, cam, s_tab, p_tab)
+    return run(metas, cam, s_tab, p_tab, *btab)
 
 
 def _meta_rows(scene, seed: int, n_chunks: int) -> jnp.ndarray:
-    """(n_chunks, 4) int32 SMEM rows: [seed, n_spheres, n_planes, tile_off]."""
+    """(n_chunks, 5) int32 SMEM rows: [seed, n_spheres, n_planes,
+    tile_off, n_boxes]."""
     metas = []
     chunk_seed = seed
     for _ in range(n_chunks):
-        metas.append([chunk_seed, scene.spheres.count, scene.planes.count, 0])
+        metas.append([chunk_seed, scene.spheres.count, scene.planes.count,
+                      0, scene.boxes.count])
         chunk_seed = int((chunk_seed * 1103515245 + 12345) % (2**31 - 1))
     return jnp.asarray(metas, jnp.int32)
 
@@ -1336,3 +1530,210 @@ def render_forward_blockwise_sharded(
     ])
     metas = _meta_rows(scene, seed, len(chunk_sizes))
     return run(metas, cam, s_tab, p_tab)
+
+
+# ---------------------------------------------------------------------------
+# replay-record pass (runtime tables): big-scene records for rt_tpu.replay
+# ---------------------------------------------------------------------------
+
+def _make_bw_record_kernel(*, width, height, s_pad, p_pad, max_bounces,
+                           rng_mode, rng_impl, center_sample, block,
+                           b_pad=0):
+    """One sample per pixel through the blockwise scan, emitting the
+    replay residuals (the render_record_pallas record set — kind/idx/
+    bits/u/coin/jitter, pallas_render.py:182-215 layout) with RUNTIME
+    primitive tables: record passes for scenes beyond the unrolled
+    kernel's 640-primitive cap, incl. the --boxes extension (kind=3)."""
+    f32 = jnp.float32
+    shape = (1, _LANES)
+
+    def kernel(meta_ref, cam_ref, sph_ref, pln_ref, *rest):
+        if b_pad:
+            box_ref, rest = rest[0], rest[1:]
+        else:
+            box_ref = None
+        (rad_ref, kind_ref, idx_ref, bits_ref,
+         urx_ref, ury_ref, urz_ref, coin_ref, jit_ref) = rest
+        tile = pl.program_id(0) + meta_ref[3]
+        seed = meta_ref[0]
+        n_sph = meta_ref[1]
+        n_pln = meta_ref[2]
+        if rng_impl == "hw":
+            pltpu.prng_seed(seed + tile * jnp.int32(1000003))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        idx = tile * _LANES + lane
+        px = (idx % width).astype(f32)
+        py = (idx // width).astype(f32)
+        draw_ctr = [0]
+
+        def u01():
+            if rng_impl == "hw":
+                return _hw_u01(shape)
+            draw_ctr[0] += 1
+            return _hash_u01(idx, seed, draw_ctr[0], shape)
+
+        cpx, cpy, cpz = cam_ref[0], cam_ref[1], cam_ref[2]
+        r = [cam_ref[3 + i] for i in range(9)]
+        tan_half, aspect, near = cam_ref[12], cam_ref[13], cam_ref[14]
+        one = jnp.ones(shape, f32)
+        zero = jnp.zeros(shape, f32)
+
+        u = u01()
+        v = u01()
+        if center_sample:
+            jx = jnp.full(shape, f32(0.5))
+            jy = jnp.full(shape, f32(0.5))
+        else:
+            jx, jy = u, v
+        jit_ref[0, 0] = jx
+        jit_ref[0, 1] = jy
+
+        nx_ = 2.0 * (px + jx) * f32(1.0 / width) - 1.0
+        ny_ = 1.0 - 2.0 * (py + jy) * f32(1.0 / height)
+        dvx = nx_ * tan_half * aspect
+        dvy = ny_ * tan_half
+        dwx = r[0] * dvx + r[1] * dvy - r[2]
+        dwy = r[3] * dvx + r[4] * dvy - r[5]
+        dwz = r[6] * dvx + r[7] * dvy - r[8]
+        ox = cpx + dwx * near
+        oy = cpy + dwy * near
+        oz = cpz + dwz * near
+        inv = jax.lax.rsqrt(dwx * dwx + dwy * dwy + dwz * dwz)
+        dx, dy, dz = dwx * inv, dwy * inv, dwz * inv
+        tr = one
+        tg = one
+        tb = one
+        live = one
+        acc = [zero, zero, zero]
+
+        for b in range(max_bounces):
+            out = _bounce_once(
+                (sph_ref, pln_ref, None, None, box_ref),
+                (n_sph, n_pln, meta_ref[4] if b_pad else 0),
+                (ox, oy, oz, dx, dy, dz, tr, tg, tb, live),
+                u01,
+                s_pad=s_pad, p_pad=p_pad, block=block, scan="lean",
+                mxu=False, cull=False, cull_group=1, rng_mode=rng_mode,
+                skip_cond=(b > 0), want_record="replay", b_pad=b_pad)
+            (contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), live,
+             rec) = out
+            kindv, idxw, bits_f, ux, uy, uz, coin = rec
+            acc = [acc[c] + contrib[c] for c in range(3)]
+            kind_ref[0, b] = kindv
+            idx_ref[0, b] = idxw
+            bits_ref[0, b] = bits_f
+            urx_ref[0, b] = ux
+            ury_ref[0, b] = uy
+            urz_ref[0, b] = uz
+            coin_ref[0, b] = coin
+
+        rad_ref[0, 0] = acc[0]
+        rad_ref[0, 1] = acc[1]
+        rad_ref[0, 2] = acc[2]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_bw_record(*, width, height, s_pad, p_pad, max_bounces,
+                        rng_mode, rng_impl, center_sample, interpret,
+                        block=_BLOCK, b_pad=0):
+    kernel = _make_bw_record_kernel(
+        width=width, height=height, s_pad=s_pad, p_pad=p_pad,
+        max_bounces=max_bounces, rng_mode=rng_mode, rng_impl=rng_impl,
+        center_sample=center_sample, block=block, b_pad=b_pad,
+    )
+    n = width * height
+    n_tiles = -(-n // _LANES)
+    B = max_bounces
+    in_specs = [
+        pl.BlockSpec((s_pad, _COLS), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_pad, _COLS), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if b_pad:
+        in_specs.append(pl.BlockSpec((b_pad, _COLS), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    def blk(ch):
+        return pl.BlockSpec((1, ch, 1, _LANES), lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def shp(ch):
+        return jax.ShapeDtypeStruct((n_tiles, ch, 1, _LANES), jnp.float32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # meta, cam
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=(blk(3),) + (blk(B),) * 7 + (blk(2),),
+        ),
+        out_shape=(shp(3),) + (shp(B),) * 7 + (shp(2),),
+        interpret=interpret,
+    )
+    return call
+
+
+def render_record_blockwise(
+    scene,
+    size: tuple[int, int],
+    seed: int,
+    *,
+    personality: str = "mg",
+    max_bounces: Optional[int] = None,
+    rng_mode: str = "reference",
+    center_sample: bool = True,
+    rng_impl: str = "hw",
+    interpret: bool = False,
+    include_boxes: bool = False,
+):
+    """Blockwise twin of pallas_render.render_record_pallas: one sample
+    per pixel, replay records out, RUNTIME tables in — the record pass
+    for scenes past the unrolled kernel's cap (and the --boxes extension
+    at blockwise scale).  Returns (radiance, records_dict) in the same
+    (n_tiles, CH, 1, 128) layout records_to_flat consumes."""
+    if not blockwise_supported(scene, include_boxes):
+        raise ValueError("scene exceeds the blockwise megakernel limits")
+    w, h = size
+    if max_bounces is None:
+        max_bounces = scene.max_bounces
+    boxes_on = include_boxes and scene.boxes.count > 0
+    s_cols, p_cols = _flatten_primitives(scene, personality)
+    s_pad = _bucket(scene.spheres.count)
+    p_pad = _bucket(scene.planes.count)
+    block = _BLOCK if max(s_pad, p_pad) <= 128 else 128
+    s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
+    p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
+    btab = ()
+    b_pad = 0
+    if boxes_on:
+        from .pallas_render import _flatten_boxes
+
+        b_cols = _flatten_boxes(scene, personality)
+        b_pad = _bucket(scene.boxes.count)
+        btab = (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+    call = _compiled_bw_record(
+        width=w, height=h, s_pad=s_pad, p_pad=p_pad,
+        max_bounces=max_bounces, rng_mode=rng_mode, rng_impl=rng_impl,
+        center_sample=center_sample, interpret=interpret, block=block,
+        b_pad=b_pad,
+    )
+    cam = jnp.concatenate([
+        jnp.asarray(scene.camera.position, jnp.float32),
+        jnp.asarray(scene.camera.rotation, jnp.float32).reshape(-1),
+        jnp.asarray([
+            np.tan(scene.camera.vfov * 0.5), w / h, scene.camera.near, 0.0
+        ], jnp.float32),
+    ])
+    meta = jnp.asarray([seed, scene.spheres.count, scene.planes.count,
+                        0, scene.boxes.count], jnp.int32)
+    out = call(meta, cam, s_tab, p_tab, *btab)
+    rad, kind, idx, bits, urx, ury, urz, coin, jit = out
+    return rad, {
+        "kind": kind, "idx": idx, "bits": bits,
+        "urx": urx, "ury": ury, "urz": urz, "coin": coin, "jitter": jit,
+    }
