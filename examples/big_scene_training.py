@@ -40,7 +40,7 @@ def main():
     import optax
 
     import rt_tpu
-    from rt_tpu.ops.pallas_blockwise_grad import make_bw_train_step
+    from rt_tpu.train import make_kernel_train_step
 
     if args.size:
         w, h = (int(x) for x in args.size.split("x"))
@@ -63,7 +63,9 @@ def main():
     params = {"materials.albedo": jnp.full_like(true_albedo, 0.5)}
 
     optimizer = optax.adam(5e-2)
-    step = make_bw_train_step(
+    # routes to the wavefront record/reverse pipeline for many-primitive
+    # scenes (>=2048 padded), the pixel-major blockwise step below
+    step = make_kernel_train_step(
         optimizer, scene, jnp.asarray(target), (w, h),
         spp=args.spp, max_bounces=4,
         rng_impl="hash" if args.cpu else "hw", interpret=args.cpu,

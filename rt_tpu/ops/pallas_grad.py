@@ -123,6 +123,21 @@ mg_ray_tracer.cpp:142-152 routes every non-metal material to lambert):
     not the dielectric bottleneck), and rows=32 via slim_stash with
     scratch OR outside accumulators (scoped-VMEM OOM in every layout —
     the dielectric reverse's live-range peak, not the stash, binds).
+
+Round-5 verdict on the proposed CHECKPOINTED TWO-PASS REVERSE (split the
+reverse at depth/2, re-run the cheap forward to the midpoint, halve the
+stash so rows>=24/32 compile for sm): REJECTED on measured rows-tier
+slopes (job 56, one interleaved session, windows=7):
+
+    mg rows=16 -> 24 -> 32:   2.930 -> 2.879 -> 2.919 ms   (16->32 = 1.004x)
+    sm rows= 8 -> 16:         4.787 -> 4.234 ms            ( 8->16 = 1.131x)
+
+    The tier benefit SATURATES at rows=16: mg — which compiles every
+    tier — gains 0.4% from 16->32, so the sm 16->32 gain the two-pass
+    scheme would unlock is bounded by ~2%, while the scheme itself
+    re-runs half the forward (~+5-7% of the step).  Net negative; the
+    remaining matched-scene sm/mg = 0.80 is the dielectric physics +
+    its transpose (the 1.25x tax), not a tiling artifact.
 """
 
 from __future__ import annotations

@@ -63,13 +63,20 @@ kernel at ~306-316 ms):
     (~9 ms/sort at 1M rays vs little extra skipping: 260 ms); per-block
     cull granularity below 4 loses (g2 237, g1 297 — branch overhead);
     wf_rows=16 spills (350 ms); block=64 loses badly (421).  The
-    500-sphere config-4 shape is SLOWER than pixel-major (0.5x): with
-    only 4 block-groups of scan per tile, per-ray state I/O + sorts
-    outweigh the skips — the auto-route keeps blockwise below 2048
-    padded primitives.  A sky-camera probe (every ray dead after bounce
-    0) measures the structural floor at ~120 ms: per-grid-step pipeline
-    overhead on dead tiles is what the bucketed shrink attacks; the
-    in-kernel any-live lax.cond alone cannot remove it.
+    500-sphere config-4 shape is SLOWER than pixel-major — 0.5x with the
+    round-4 16-row state, and still 0.598x after the round-5 14-row pack
+    (1080p@16spp interleaved, job 54): with only 4 block-groups of scan
+    per tile, per-ray state I/O + sorts outweigh the skips, and the
+    12.5% I/O cut moves the needle ~20% of the gap — the remaining cost
+    is the sorts + per-grid-step overhead, both scan-independent, so the
+    auto-route keeps blockwise below 2048 padded primitives.  Chunk-size
+    scaling at 4K is ALSO a negative (0.96x for 4x bigger chunks, job
+    53): the compaction sorts scale with rays, so bigger chunks only
+    amortize small fixed overheads.  A sky-camera probe (every ray dead
+    after bounce 0) measures the structural floor at ~120 ms:
+    per-grid-step pipeline overhead on dead tiles is what the bucketed
+    shrink attacks; the in-kernel any-live lax.cond alone cannot remove
+    it.
 
 Training (round 5): rt_tpu.ops.pallas_wavefront_grad runs the fused
 fwd+bwd on THIS pipeline — the bounce kernels' ``record=True`` mode
@@ -81,7 +88,10 @@ points here stay record-free.
 State row layout (f32):
   0-2  origin        3-5  direction      6-8  throughput
   9-11 radiance acc  12   live flag      13   ray id (int32 BITCAST)
-  14-15 (spare)
+  14   winner word (grad-record mode)    15   spare (grad-record mode)
+Forward-only state is 14 rows (rows 14-15 exist only under
+``record=True`` for the wavefront backward) — 12.5% less per-bounce HBM
+state traffic than the round-4 16-row layout.
 Row 13 carries the global ray id (sample * n_pix + pixel) as an int32
 bit-pattern riding an f32 row (``lax.bitcast_convert_type``): ids are
 exact up to 2^30 rays, so a 4K frame can chunk at >=8 spp (the round-4
@@ -321,9 +331,9 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                 # ONLY stash the wavefront backward needs per bounce
                 out_ref[14:15, sl] = jax.lax.bitcast_convert_type(
                     out[5] | jnp.int32(_ID_TAG), f32)
-            else:
-                out_ref[14:15, sl] = jnp.zeros(shape, f32)
-            out_ref[15:16, sl] = jnp.zeros(shape, f32)
+                out_ref[15:16, sl] = jnp.zeros(shape, f32)
+            # forward-only mode carries a 14-row state (rows 14-15 are
+            # record/spare) — 12.5% less per-bounce HBM state traffic
 
     return kernel
 
@@ -341,6 +351,7 @@ def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
         extract_window=extract_window, record=record,
     )
     span = wf_rows * _LANES
+    n_rows = 16 if record else 14
     in_specs = [
         pl.BlockSpec((s_pad, _COLS), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -354,7 +365,7 @@ def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
         in_specs.append(pl.BlockSpec((128, _COLS), lambda i, *_: (0, 0),
                                      memory_space=pltpu.VMEM))
     if not gen:
-        in_specs.append(pl.BlockSpec((16, span), lambda i, *_: (0, i),
+        in_specs.append(pl.BlockSpec((n_rows, span), lambda i, *_: (0, i),
                                      memory_space=pltpu.VMEM))
     call = pl.pallas_call(
         kernel,
@@ -362,10 +373,11 @@ def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
             num_scalar_prefetch=2,  # meta, cam
             grid=(n_tiles,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((16, span), lambda i, *_: (0, i),
+            out_specs=pl.BlockSpec((n_rows, span), lambda i, *_: (0, i),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((16, n_tiles * span), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_tiles * span),
+                                       jnp.float32),
         interpret=interpret,
     )
     return call
@@ -400,7 +412,7 @@ def _sort_state(state, cell_bits: int, sort_mode: str):
     if sort_mode == "gather":
         perm = jnp.argsort(key, stable=True)
         return state[:, perm]
-    ops = (key,) + tuple(state[i] for i in range(16))
+    ops = (key,) + tuple(state[i] for i in range(state.shape[0]))
     out = jax.lax.sort(ops, num_keys=1, is_stable=True)
     return jnp.stack(out[1:], axis=0)
 

@@ -963,7 +963,7 @@ def _wf_grad_pipeline_sharded(s_mat_bytes, p_mat_bytes, inv_bytes, mesh_key,
     return run, len(chunk_sizes)
 
 
-def _wf_grad_static(scene, size, spp, max_bounces, spp_chunk):
+def _wf_grad_static(scene, size, spp, spp_chunk):
     """Shared shape/limit resolution for the grad pipeline."""
     w, h = size
     n_pix = w * h
@@ -1058,7 +1058,7 @@ def make_wf_mse_step(
     if not wf_grad_supported(concrete):
         raise ValueError("scene exceeds the wavefront grad limits")
     spp_chunk, s_pad, p_pad = _wf_grad_static(concrete, size, spp,
-                                              max_bounces, spp_chunk)
+                                              spp_chunk)
     block_, cull_, cull_group_, sched, shrink, win_ = _static_config(
         s_pad, p_pad, max_bounces, block, cull, cull_group, sort_schedule,
         shrink_at, win)
@@ -1156,7 +1156,7 @@ def make_wf_train_step(
     if not wf_grad_supported(scene):
         raise ValueError("scene exceeds the wavefront grad limits")
     spp_chunk, s_pad, p_pad = _wf_grad_static(scene, size, spp,
-                                              max_bounces, spp_chunk)
+                                              spp_chunk)
     block_, cull_, cull_group_, sched, shrink, win_ = _static_config(
         s_pad, p_pad, max_bounces, knobs.get("block"), knobs.get("cull"),
         knobs.get("cull_group"), knobs.get("sort_schedule"),

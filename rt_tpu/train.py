@@ -54,6 +54,40 @@ def make_train_step(
     return jax.jit(step)
 
 
+def make_kernel_train_step(
+    optimizer: optax.GradientTransformation,
+    scene,
+    target,
+    size: tuple[int, int],
+    *,
+    spp: int = 4,
+    max_bounces=None,
+    mesh=None,
+    **opts,
+) -> Callable:
+    """Best fused-kernel train step for the scene: ``step(params,
+    opt_state, seed) -> (params, opt_state, loss)``.
+
+    Routes many-primitive scenes to the wavefront record/reverse pipeline
+    (rt_tpu.ops.pallas_wavefront_grad — 5.28x the pixel-major step on the
+    5000-sphere config, round-5 job 52) and smaller scenes to the
+    pixel-major blockwise fused step; the threshold is the forward
+    pipelines' measured crossover (~2048 padded primitives — below it the
+    wavefront's per-bounce state I/O outweighs the scan savings).  Both
+    steps rebuild tables from the traced params every call (zero
+    recompiles across updates)."""
+    from .ops.pallas_blockwise import _bucket
+    from .ops.pallas_blockwise_grad import make_bw_train_step
+    from .ops.pallas_wavefront_grad import make_wf_train_step, wf_grad_supported
+
+    s_pad = _bucket(scene.spheres.count)
+    if wf_grad_supported(scene) and s_pad >= 2048:
+        return make_wf_train_step(optimizer, scene, target, size, spp=spp,
+                                  max_bounces=max_bounces, mesh=mesh, **opts)
+    return make_bw_train_step(optimizer, scene, target, size, spp=spp,
+                              max_bounces=max_bounces, mesh=mesh, **opts)
+
+
 def fit(
     scene,
     target,

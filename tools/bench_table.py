@@ -372,18 +372,41 @@ def main():
             _p[0], _p[1], loss = g5_step(_p[0], _p[1], i)
             return loss
 
-        t, t_wf5_i = interleaved([(one5k, 2), (wf5, 4)], windows=5)
+        # round-5 headline: the WAVEFRONT train step (record forward +
+        # scan-free reverse) vs the blockwise fused step, same windows
+        from rt_tpu.ops.pallas_wavefront_grad import make_wf_train_step
+
+        wfg_step = make_wf_train_step(opt, s5k, tgt5, (960, 540), spp=2,
+                                      max_bounces=8)
+        st5w = opt.init(p5k)
+
+        def one5w(i, _p=[dict(p5k), st5w]):
+            _p[0], _p[1], loss = wfg_step(_p[0], _p[1], i)
+            return loss
+
+        t_wfg, t, t_wf5_i = interleaved(
+            [(one5w, 2), (one5k, 2), (wf5, 4)], windows=5)
         rows.append(("5: 5000-sphere 960x540 @2spp d8 full train step "
                      "(blockwise fwd+bwd)",
                      f"{960*540*2/t/1e6:.1f} Mrays/s ({t*1e3:.0f} ms/step = "
                      f"{t/t_wf5_i:.2f}x the wavefront forward frame, "
                      "interleaved)"))
+        rows.append(("5: 5000-sphere 960x540 @2spp d8 full train step "
+                     "(WAVEFRONT fwd+bwd, round 5)",
+                     f"{960*540*2/t_wfg/1e6:.1f} Mrays/s "
+                     f"({t_wfg*1e3:.0f} ms/step = {t/t_wfg:.2f}x the "
+                     f"blockwise step, step/fwd = {t_wfg/t_wf5_i:.2f}x the "
+                     "wavefront forward — all interleaved windows)"))
     rows.append(("5: END-TO-END frame — 3840x2160 @256spp d8, 5000 spheres",
                  "STATIC one-off measurement (not re-run by this script): "
-                 "627.7 s wall via the wavefront pipeline (3.4 Mrays/s; "
-                 "round-3 blockwise: 800.6 s = 1.28x); preview committed "
-                 "at docs/config5_4k_preview.png — rerun with "
-                 "tools/tpu_worker job CP_4kframe to reproduce"))
+                 "337.3 s wall via the wavefront pipeline with the 14-row "
+                 "state + tagged int32 ids (6.30 Mrays/s; round-4: 627.7 s, "
+                 "round-3 blockwise: 800.6 s).  Same-session chunk A/B: "
+                 "8-spp chunks vs the old 2-spp cap = 0.96x — chunk size "
+                 "is NOT the lever (sorts scale with rays); the delta is "
+                 "the 14-row state + session state.  Preview at "
+                 "docs/config5_4k_preview.png — rerun with tools/tpu_worker "
+                 "job 53_4k_chunks to reproduce"))
 
     md = ["# BENCH_TABLE — measured on the attached TPU chip", "",
           "| Config | Result |", "|---|---|"]

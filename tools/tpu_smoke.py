@@ -199,6 +199,29 @@ def main():
     failures += not ok
     print(f"[{'ok ' if ok else 'FAIL'}] fused grad FD: an {an:.6f} fd {fd:.6f}")
 
+    # wavefront fused fwd+bwd (round 5): loss == the forward frame's MSE
+    # (the record pass IS the frame) + FD on a smooth parameter
+    from rt_tpu.ops.pallas_wavefront_grad import make_wf_mse_step
+
+    wstep = make_wf_mse_step(params, s, tgt, small, spp=2, max_bounces=4)
+    wl, wg = wstep(17)
+    wimg = np.asarray(render_forward_wavefront(
+        s, small, seed=17, spp=2, max_bounces=4, gamma=False))
+    ok = abs(float(wl) - float(np.mean(wimg ** 2))) < 1e-6
+    failures += not ok
+    print(f"[{'ok ' if ok else 'FAIL'}] wavefront-grad loss == forward MSE "
+          f"({float(wl):.6f})")
+    l_hi = float(make_wf_mse_step(p_hi, s, tgt, small, spp=2,
+                                  max_bounces=4)(17)[0])
+    l_lo = float(make_wf_mse_step(p_lo, s, tgt, small, spp=2,
+                                  max_bounces=4)(17)[0])
+    fd = (l_hi - l_lo) / (2 * eps)
+    an = float(wg[name][0])
+    ok = abs(an - fd) <= max(2e-2 * abs(fd), 1e-4)
+    failures += not ok
+    print(f"[{'ok ' if ok else 'FAIL'}] wavefront-grad FD: an {an:.6f} "
+          f"fd {fd:.6f}")
+
     # throughput headline
     img = render_forward_pallas(s, (800, 600), seed=2, spp=4, max_bounces=8)
     jax.block_until_ready(img)
