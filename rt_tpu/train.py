@@ -71,17 +71,19 @@ def make_kernel_train_step(
     Routes many-primitive scenes to the wavefront record/reverse pipeline
     (rt_tpu.ops.pallas_wavefront_grad — 5.28x the pixel-major step on the
     5000-sphere config, round-5 job 52) and smaller scenes to the
-    pixel-major blockwise fused step; the threshold is the forward
-    pipelines' measured crossover (~2048 padded primitives — below it the
-    wavefront's per-bounce state I/O outweighs the scan savings).  Both
-    steps rebuild tables from the traced params every call (zero
-    recompiles across updates)."""
+    pixel-major blockwise fused step.  The TRAIN-step crossover sits much
+    lower than the forward-only one (2048 padded prims): the scan-free
+    backward almost erases the wavefront's small-scene deficit — measured
+    0.96x at 512 padded prims (500-sphere 1080p step, job 57, interleaved)
+    vs 0.60x for the forward alone — so the router switches at the next
+    bucket, 1024.  Both steps rebuild tables from the traced params every
+    call (zero recompiles across updates)."""
     from .ops.pallas_blockwise import _bucket
     from .ops.pallas_blockwise_grad import make_bw_train_step
     from .ops.pallas_wavefront_grad import make_wf_train_step, wf_grad_supported
 
     s_pad = _bucket(scene.spheres.count)
-    if wf_grad_supported(scene) and s_pad >= 2048:
+    if wf_grad_supported(scene) and s_pad >= 1024:
         return make_wf_train_step(optimizer, scene, target, size, spp=spp,
                                   max_bounces=max_bounces, mesh=mesh, **opts)
     return make_bw_train_step(optimizer, scene, target, size, spp=spp,
