@@ -298,7 +298,7 @@ def _make_wf_rev_kernel(*, width, height, s_pad, p_pad, max_bounces,
     Refs: meta (SMEM int32 [seed, n_sph, n_pln, bounce_b, n_rays,
     ray_offset, 0, 0]), cam (SMEM f32 15), sphere/plane tables, state
     (16, span) [input state of bounce b; absent when gen], record row
-    (1, span) [bounce b's winner words], cot (16, span) [rows 0-8:
+    (1, span) [bounce b's winner words], cot (12, span) [rows 0-8:
     o/d/thr cotangents flowing backward, rows 9-11: the per-ray pixel
     cotangent], zero-initialised grad tables aliased to the outputs.
     Outputs: new cot (absent when gen; replaced by the per-tile camera
@@ -462,8 +462,6 @@ def _make_wf_rev_kernel(*, width, height, s_pad, p_pad, max_bounces,
                     cot_out[3 + c:4 + c, sl] = cd[c]
                     cot_out[6 + c:7 + c, sl] = ct[c]
                     cot_out[9 + c:10 + c, sl] = cot_pix[c]
-                for c in range(12, 16):
-                    cot_out[c:c + 1, sl] = zero
 
             def do_accum(_):
                 _accum_tables(sg_ref, pg_ref, pay_cot, row_i, ispl,
@@ -501,7 +499,7 @@ def _compiled_wf_rev(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                                      memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec((1, span), lambda i, *_: (0, i),
                                  memory_space=pltpu.VMEM))   # record row
-    in_specs.append(pl.BlockSpec((16, span), lambda i, *_: (0, i),
+    in_specs.append(pl.BlockSpec((12, span), lambda i, *_: (0, i),
                                  memory_space=pltpu.VMEM))   # cot in
     in_specs.append(pl.BlockSpec((s_pad, _COLS), lambda i, *_: (0, 0),
                                  memory_space=pltpu.VMEM))   # sg zeros
@@ -527,7 +525,7 @@ def _compiled_wf_rev(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
         aliases = {6: 1, 7: 2}
     else:
         out_specs = (
-            pl.BlockSpec((16, span), lambda i, *_: (0, i),
+            pl.BlockSpec((12, span), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s_pad, _COLS), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -535,7 +533,7 @@ def _compiled_wf_rev(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                          memory_space=pltpu.VMEM),
         )
         out_shape = (
-            jax.ShapeDtypeStruct((16, n_tiles * span), jnp.float32),
+            jax.ShapeDtypeStruct((12, n_tiles * span), jnp.float32),
             jax.ShapeDtypeStruct((s_pad, _COLS), jnp.float32),
             jax.ShapeDtypeStruct((p_pad, _COLS), jnp.float32),
         )
@@ -816,7 +814,7 @@ def _chunk_reverse(entry, meta_row, cam, s_tab, p_tab, saved, cot_flat,
             & jnp.int32(_ID_MASK))
     pixf = idxf % n_pix
     cotp = jnp.take(cot_flat, pixf, axis=0)      # (N, 3)
-    cot = jnp.zeros((16, N), f32).at[9:12].set(cotp.T)
+    cot = jnp.zeros((12, N), f32).at[9:12].set(cotp.T)
     sg_run = jnp.zeros((cfg["s_pad"], _COLS), f32)
     pg_run = jnp.zeros((cfg["p_pad"], _COLS), f32)
     for b in reversed(range(1, max_bounces)):
