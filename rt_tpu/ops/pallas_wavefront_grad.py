@@ -61,6 +61,31 @@ mg_ray_tracer.cpp:43-79 (linear-scan argmin), 95-102 (tie select),
 RNG is the counter hash keyed by (pixel, sample, bounce) — mandatory here
 for the same reason as the forward wavefront: draws must be independent of
 where the sorts put a ray.
+
+Measured (v5e-1, round 5; all ratios from interleaved same-state windows):
+
+    =====================================================  ========
+    configuration                                           result
+    =====================================================  ========
+    config-5 train step (5000 sph, 960x540@2spp d8)         262.2 ms
+    ... vs the blockwise fused train step (1384.7 ms)       5.28x
+    ... step / wavefront-forward-frame ratio                1.355x
+    config-4 train step (500 sph, 1920x1080@4spp d8)        1354 ms
+    ... vs the blockwise fused step (1300 ms)               0.96x
+    on-device FD check (reflectivity, 200x150@2spp)         rel 0.023%
+    =====================================================  ========
+
+    The train-step crossover sits far below the forward-only one: the
+    forward alone is 0.60x blockwise at the config-4 shape, but the
+    scan-free reverse pulls the full step to 0.96x — so
+    rt_tpu.train.make_kernel_train_step switches pipelines at 1024
+    padded primitives (vs the forward router's 2048).  Correctness
+    chain: interpret-mode reverse matches a straight-line jnp vjp of
+    the same records to 1e-11; gradient parity vs the blockwise
+    pipeline at matched draws (the blockwise side drifts +-ulp at
+    depth>=4 because its grad kernel re-runs its own forward sweep,
+    while this reverse consumes the true recorded states); sharded ==
+    unsharded loss bit-exact on every mesh layout.
 """
 
 from __future__ import annotations

@@ -53,8 +53,9 @@ def test_auto_route_warns_on_unsupported_scene():
     assert route == "blockwise" and warning is None
 
     # round 3: box scenes route to the kernels (reference box-stub
-    # semantics; --boxes bakes the slab test).  Only --boxes beyond the
-    # unrolled cap demotes, with a warning.
+    # semantics; --boxes bakes the slab test).  Round 5: --boxes past
+    # the unrolled cap rides the BLOCKWISE slab-table scan — no more
+    # jnp demotion (and no warning) until the 16384-primitive cap.
     boxy = rt_tpu.loads(
         "materials = [ { type = 'lambert' } ]\nboxes = [ { material = 0 } ]\n"
     )
@@ -64,8 +65,10 @@ def test_auto_route_warns_on_unsupported_scene():
 
     big_boxy = dataclasses.replace(big_boxy, boxes=boxy.boxes)
     route, warning = auto_route(big_boxy, "tpu", include_boxes=True)
-    assert route == "jnp"
-    assert "box" in warning
+    assert route == "blockwise" and warning is None
+    huge = rt_tpu.scene.make_procedural_scene(17000)
+    route, warning = auto_route(huge, "tpu")
+    assert route == "jnp" and warning is not None
 
 
 def test_records_pipeline_recompile_logs(capsys):
