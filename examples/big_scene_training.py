@@ -64,7 +64,8 @@ def main():
 
     optimizer = optax.adam(5e-2)
     # routes to the wavefront record/reverse pipeline for many-primitive
-    # scenes (>=2048 padded), the pixel-major blockwise step below
+    # scenes (>=1024 padded — the TRAIN crossover sits below the
+    # forward-only 2048), the pixel-major blockwise step below
     step = make_kernel_train_step(
         optimizer, scene, jnp.asarray(target), (w, h),
         spp=args.spp, max_bounces=4,

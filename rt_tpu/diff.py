@@ -234,18 +234,72 @@ def _scene_static_key(scene):
     )
 
 
+def _record_cam_vec(camera, w, h):
+    """Packed camera vector for a record kernel, pose stop-gradiented
+    (params reach the loss only through the replay below)."""
+    return jnp.concatenate([
+        jax.lax.stop_gradient(jnp.asarray(camera.position, jnp.float32)),
+        jax.lax.stop_gradient(
+            jnp.asarray(camera.rotation, jnp.float32)).reshape(-1),
+        jnp.asarray([np.tan(camera.vfov * 0.5), w / h,
+                     camera.near, 0.0], jnp.float32),
+    ])
+
+
+def _decode_record(out, n, max_bounces):
+    """Record-kernel output tuple -> the flat per-bounce record dict."""
+    from .ops.pallas_render import records_to_flat
+
+    _, kind, idx, bits, urx, ury, urz, coin, jit_ = out
+    return records_to_flat({
+        "kind": kind, "idx": idx, "bits": bits,
+        "urx": urx, "ury": ury, "urz": urz, "coin": coin,
+        "jitter": jit_,
+    }, n, max_bounces)
+
+
+def _replay_value_and_grad(params, scene, target, rec_sets, *, size,
+                           personality, max_bounces, include_boxes, grid):
+    """Differentiate the cheap replay over the recorded path structure —
+    the shared tail of the two record pipelines (baked-constant and
+    blockwise): MSE on the pre-gamma mean of the per-sample replays."""
+    from .camera import generate_rays
+    from .replay import PathRecords, replay_radiance
+
+    w, h = size
+    n = w * h
+
+    def loss_fn(p):
+        sc = apply_params(scene, p)
+        acc = jnp.zeros((n, 3), jnp.float32)
+        for rec in rec_sets:
+            o, d = generate_rays(sc.camera, (w, h), grid + rec["jitter"])
+            pr = PathRecords(
+                kind=rec["kind"], idx=rec["idx"], root_lo=rec["root_lo"],
+                live_in=rec["live_in"], miss=rec["miss"],
+                alive_out=rec["alive_out"], reflect_bit=rec["reflect_bit"],
+                lam_deg=rec["lam_deg"],
+            )
+            acc = acc + replay_radiance(
+                sc, o, d, None, pr,
+                personality=personality, max_bounces=max_bounces,
+                draws=(rec["ur"], rec["coin"]),
+                include_boxes=include_boxes,
+            )
+        img = (acc / len(rec_sets)).reshape(h, w, 3)
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
 @functools.lru_cache(maxsize=8)
 def _records_pipeline(scene_bytes, shapes, static_key, *, width, height, spp,
                       max_bounces, personality, rng_mode,
                       rng_impl="hw", interpret=False, include_boxes=False):
     """Jitted end-to-end records pipeline: record kernels (baked constants) +
     differentiable replay + MSE value_and_grad in ONE dispatch."""
-    import jax.numpy as jnp
-
-    from .camera import generate_rays
     from .integrator import _pixel_grid
     from .ops.pallas_render import _compiled_record
-    from .replay import PathRecords, replay_radiance
 
     w, h = width, height
     n = w * h
@@ -261,53 +315,19 @@ def _records_pipeline(scene_bytes, shapes, static_key, *, width, height, spp,
     ]
     grid = _pixel_grid((w, h))
 
-    def _flat_records(raw):
-        from .ops.pallas_render import records_to_flat
-
-        return records_to_flat(raw, n, max_bounces)
-
     @jax.jit
     def run(params, scene, target, seeds):
-        # record pass (non-differentiable pallas outputs; params reach the
-        # loss only through the replay below)
-        cam = jnp.concatenate([
-            jax.lax.stop_gradient(jnp.asarray(scene.camera.position, jnp.float32)),
-            jax.lax.stop_gradient(jnp.asarray(scene.camera.rotation, jnp.float32)).reshape(-1),
-            jnp.asarray([np.tan(scene.camera.vfov * 0.5), w / h,
-                         scene.camera.near, 0.0], jnp.float32),
-        ])
+        # record pass (non-differentiable pallas outputs)
+        cam = _record_cam_vec(scene.camera, w, h)
         rec_sets = []
         for s in range(spp):
             call = rec_calls[0] if s == 0 else rec_calls[1 % len(rec_calls)]
-            out = call(cam, seeds[s:s + 1])
-            _, kind, idx, bits, urx, ury, urz, coin, jit_ = out
-            rec_sets.append(_flat_records({
-                "kind": kind, "idx": idx, "bits": bits,
-                "urx": urx, "ury": ury, "urz": urz, "coin": coin,
-                "jitter": jit_,
-            }))
-
-        def loss_fn(p):
-            sc = apply_params(scene, p)
-            acc = jnp.zeros((n, 3), jnp.float32)
-            for s, rec in enumerate(rec_sets):
-                o, d = generate_rays(sc.camera, (w, h), grid + rec["jitter"])
-                pr = PathRecords(
-                    kind=rec["kind"], idx=rec["idx"], root_lo=rec["root_lo"],
-                    live_in=rec["live_in"], miss=rec["miss"],
-                    alive_out=rec["alive_out"], reflect_bit=rec["reflect_bit"],
-                    lam_deg=rec["lam_deg"],
-                )
-                acc = acc + replay_radiance(
-                    sc, o, d, None, pr,
-                    personality=personality, max_bounces=max_bounces,
-                    draws=(rec["ur"], rec["coin"]),
-                    include_boxes=include_boxes,
-                )
-            img = (acc / spp).reshape(h, w, 3)
-            return jnp.mean((img - target) ** 2)
-
-        return jax.value_and_grad(loss_fn)(params)
+            rec_sets.append(_decode_record(call(cam, seeds[s:s + 1]),
+                                           n, max_bounces))
+        return _replay_value_and_grad(
+            params, scene, target, rec_sets, size=(w, h),
+            personality=personality, max_bounces=max_bounces,
+            include_boxes=include_boxes, grid=grid)
 
     return run
 
@@ -322,11 +342,8 @@ def _records_pipeline_bw(*, width, height, spp, max_bounces, personality,
     the property the baked-constant pipeline gives up), the replay is the
     same differentiable jnp pass.  Covers the --boxes extension (kind=3
     records from the blockwise slab scan)."""
-    from .camera import generate_rays
     from .integrator import _pixel_grid
     from .ops.pallas_blockwise import _compiled_bw_record
-    from .ops.pallas_render import records_to_flat
-    from .replay import PathRecords, replay_radiance
 
     w, h = width, height
     n = w * h
@@ -342,47 +359,17 @@ def _records_pipeline_bw(*, width, height, spp, max_bounces, personality,
 
     @jax.jit
     def run(params, scene, target, seeds, s_tab, p_tab, *btab):
-        cam = jnp.concatenate([
-            jax.lax.stop_gradient(
-                jnp.asarray(scene.camera.position, jnp.float32)),
-            jax.lax.stop_gradient(
-                jnp.asarray(scene.camera.rotation, jnp.float32)).reshape(-1),
-            jnp.asarray([np.tan(scene.camera.vfov * 0.5), w / h,
-                         scene.camera.near, 0.0], jnp.float32),
-        ])
+        cam = _record_cam_vec(scene.camera, w, h)
         rec_sets = []
         for s in range(spp):
             call = rec_calls[0] if s == 0 else rec_calls[1 % len(rec_calls)]
             meta = jnp.stack([seeds[s], jnp.int32(n_sph), jnp.int32(n_pln),
                               jnp.int32(0), jnp.int32(n_box)])
-            out = call(meta, cam, s_tab, p_tab, *btab)
-            _, kind, idx, bits, urx, ury, urz, coin, jit_ = out
-            rec_sets.append(records_to_flat({
-                "kind": kind, "idx": idx, "bits": bits,
-                "urx": urx, "ury": ury, "urz": urz, "coin": coin,
-                "jitter": jit_,
-            }, n, max_bounces))
-
-        def loss_fn(p):
-            sc = apply_params(scene, p)
-            acc = jnp.zeros((n, 3), jnp.float32)
-            for s, rec in enumerate(rec_sets):
-                o, d = generate_rays(sc.camera, (w, h), grid + rec["jitter"])
-                pr = PathRecords(
-                    kind=rec["kind"], idx=rec["idx"], root_lo=rec["root_lo"],
-                    live_in=rec["live_in"], miss=rec["miss"],
-                    alive_out=rec["alive_out"], reflect_bit=rec["reflect_bit"],
-                    lam_deg=rec["lam_deg"],
-                )
-                acc = acc + replay_radiance(
-                    sc, o, d, None, pr,
-                    personality=personality, max_bounces=max_bounces,
-                    draws=(rec["ur"], rec["coin"]),
-                    include_boxes=include_boxes,
-                )
-            img = (acc / spp).reshape(h, w, 3)
-            return jnp.mean((img - target) ** 2)
-
-        return jax.value_and_grad(loss_fn)(params)
+            rec_sets.append(_decode_record(call(meta, cam, s_tab, p_tab,
+                                                *btab), n, max_bounces))
+        return _replay_value_and_grad(
+            params, scene, target, rec_sets, size=(w, h),
+            personality=personality, max_bounces=max_bounces,
+            include_boxes=include_boxes, grid=grid)
 
     return run

@@ -253,6 +253,30 @@ def _seed_table(s_tab: jax.Array, block: int) -> jax.Array:
     return seed
 
 
+def _window_start(mask, rowf, row_i, pad, win):
+    """Windowed one-hot geometry, shared by the forward winner extract
+    (below) and the wavefront reverse's payload fetch / gradient scatter
+    (pallas_wavefront_grad): on coherent (sorted) tiles the winner rows
+    cluster, so derive the 8-aligned window start from the masked row
+    minimum, each lane's window-relative row, and the all-in-window
+    predicate gating the windowed fast path (lanes outside fall back to
+    the full-table one-hot via the caller's cond).  The three call sites
+    MUST agree bit-for-bit — the reverse pins the same winners the
+    forward extracted — which is why this lives in one place.
+
+    Returns ``(start_i, rel, all_in)``."""
+    f32 = jnp.float32
+    wrow = jnp.where(mask, rowf, f32(3e38))
+    start_f = jnp.min(wrow)
+    start_i = jnp.where(start_f < f32(3e38), start_f,
+                        f32(0.0)).astype(jnp.int32)
+    start_i = jnp.minimum((start_i // 8) * 8, jnp.int32(pad - win))
+    rel = row_i - start_i
+    in_win = (rel >= 0) & (rel < win)
+    all_in = jnp.sum((mask & ~in_win).astype(f32)) == 0.0
+    return start_i, rel, all_in
+
+
 def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
                  mxu, cull, cull_group, rng_mode, skip_cond, dbg=(),
                  extract_window=0, want_record=False, b_pad=0):
@@ -727,11 +751,13 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
         hitb = best_t < f32(1e37)
         if "skip_extract" in dbg:
             # timing knob: pretend the winner fetch is free (wrong values,
-            # right shapes/costs elsewhere)
+            # right shapes/costs elsewhere); arity must track the normal
+            # path (replay records append a radius slot below)
             return (best_t, zero, zero, zero, zero, zero, zero,
                     jnp.where(hitb, f32(0.5), zero), zero, zero, one,
                     zero, zero, isplf) + \
-                ((zero, zero, zero, one, one, one) if b_pad else ())
+                ((zero, zero, zero, one, one, one) if b_pad else ()) + \
+                ((zero,) if want_record == "replay" else ())
         # Mosaic iota must be integer-typed; bidx is a small
         # exact integer in f32, so the int cast is lossless
         bidx_i = bidxf.astype(jnp.int32)
@@ -755,15 +781,8 @@ def _bounce_once(refs, counts, rays, u01, *, s_pad, p_pad, block, scan,
             # scan).  EXACT: the windowed contraction accumulates the
             # identical nonzero terms, and lanes outside the window
             # trigger the full fallback via the cond.
-            wrow = jnp.where(sph_win, bidxf, f32(3e38))
-            start_f = jnp.min(wrow)
-            start_i = jnp.where(start_f < f32(3e38), start_f,
-                                f32(0.0)).astype(jnp.int32)
-            start_i = jnp.minimum((start_i // 8) * 8,
-                                  jnp.int32(s_pad - W))
-            rel = bidx_i - start_i
-            in_win = (rel >= 0) & (rel < W)
-            all_in = jnp.sum((sph_win & ~in_win).astype(f32)) == 0.0
+            start_i, rel, all_in = _window_start(sph_win, bidxf, bidx_i,
+                                                 s_pad, W)
 
             def win_extract(_):
                 blk = sph_ref[pl.ds(start_i, W), :]

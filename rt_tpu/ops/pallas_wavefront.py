@@ -59,6 +59,28 @@ kernel at ~306-316 ms):
     + windowed winner extract (256 rows, the default)      179    1.76x
     ====================================================  ======  =====
 
+    Sort implementation is a measured WASH (job 71, interleaved
+    windows=7, bit-identical frames): variadic lax.sort with the 14
+    state rows as payload operands 180.9 ms vs argsort+take gather
+    179.6 ms = 0.7% — inside window noise, so the default stays
+    "variadic" (one fused sort, no (14, N) gather intermediate);
+    both modes are kept and parity-tested (test_sort_modes_agree).
+
+    The SEGMENTED live-prefix pipeline (``pipeline="seg"``: sequential
+    lax.switch segments over a 1..1/32 bucket ladder, the next
+    scheduled sort at the tail of each branch so it sorts only the
+    static prefix, per-segment bucket re-choice) is also a measured
+    NEUTRAL (jobs 73/76, interleaved, bit-equal frames): config-5
+    slice 1.012x, 4K @2spp-chunk 0.999x (2521 vs 2524 ms).  Two
+    conclusions worth the record: (a) the tail pipeline's in-branch
+    sorts were ALREADY prefix-sized, so the only new savings were the
+    second sort at ~1/2 size and deeper late buckets — a few ms; (b)
+    the 4K frame now scales ~linearly from the slice (2521 ms ~=
+    16 x 177 ms x 0.89), i.e. with tagged int32 ids + 14-row state the
+    sorts are NOT a 4K-specific overhead any more.  Default stays
+    "tail"; "seg" is kept parity-tested
+    (test_segmented_pipeline_bit_parity).
+
     Negative results kept deliberately: sorting EVERY bounce loses
     (~9 ms/sort at 1M rays vs little extra skipping: 260 ms); per-block
     cull granularity below 4 loses (g2 237, g1 297 — branch overhead);
@@ -144,8 +166,14 @@ _ID_MASK = _ID_TAG - 1
 
 def wavefront_supported(scene, include_boxes: bool = False) -> bool:
     """Same scene envelope as the blockwise kernel (the bounce body is
-    shared); additionally a chunk's ray count must keep ray ids exact in
-    the tagged int32 encoding (checked at call time against 2^30)."""
+    shared), EXCEPT the ``--boxes`` extension: the wavefront bounce
+    kernel carries no slab-scan table, so a box scene must keep the
+    pixel-major blockwise path (which grew kind=3 support in round 5) —
+    accepting it here would silently drop the boxes from the frame.
+    Additionally a chunk's ray count must keep ray ids exact in the
+    tagged int32 encoding (checked at call time against 2^30)."""
+    if include_boxes and scene.boxes.count > 0:
+        return False
     return blockwise_supported(scene, include_boxes)
 
 
@@ -417,12 +445,15 @@ def _sort_state(state, cell_bits: int, sort_mode: str):
     return jnp.stack(out[1:], axis=0)
 
 
+_SEG_DIVS = (1, 2, 4, 8, 16, 32)  # live-prefix bucket ladder (seg pipeline)
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                        max_bounces, rng_mode, gamma, center_first, interpret,
                        block, cull, cull_gen, cull_group, sort_schedule,
                        sort_mode, cell_bits, wf_rows, shrink_at, dbg=(),
-                       extract_window=0):
+                       extract_window=0, pipeline="tail"):
     """Jitted frame: per chunk, gen kernel (raygen + bounce 0), then one
     bounce kernel per remaining bounce with sort/compaction between the
     bounces named in ``sort_schedule``; per-ray radiance is re-ordered
@@ -458,11 +489,13 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
         gen = _compiled_wf_call(center_sample=center, gen=True,
                                 n_tiles=n_tiles,
                                 **{**common, "cull": cull_gen})
+        tile_set = {n_tiles, max(1, n_tiles // 4), max(1, n_tiles // 16)}
+        if pipeline == "seg":
+            tile_set |= {max(1, n_tiles // d) for d in _SEG_DIVS}
         stepc = {
             nt: _compiled_wf_call(center_sample=center, gen=False,
                                   n_tiles=nt, **common)
-            for nt in {n_tiles, max(1, n_tiles // 4),
-                       max(1, n_tiles // 16)}
+            for nt in tile_set
         }
         return gen, stepc, n_rays, n_tiles
 
@@ -485,14 +518,68 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                 meta_b = metas[ci].at[3].set(b)
                 return stepc[nt](meta_b, cam, s_tab, p_tab, *aux, st)
 
-            b = 1
-            while b < max_bounces:
-                if b in sort_schedule:
-                    state = _sort_state(state, cell_bits, sort_mode)
-                    if b == shrink_at:
-                        break
-                state = run_bounce(state, b, n_tiles)
-                b += 1
+            seg_bounds = (sorted({b for b in sort_schedule
+                                  if 1 <= b < max_bounces})
+                          if pipeline == "seg" else [])
+            if seg_bounds:
+                # ---- segmented live-prefix pipeline ---------------------
+                # Every sorted segment runs inside a lax.switch branch
+                # sized to the smallest ladder bucket covering the live
+                # count, and the NEXT scheduled sort runs at the tail of
+                # the branch — so it sorts only the (static) prefix, not
+                # the full ray table.  Sequential switches (no nesting):
+                # live rays always sit inside the previous branch's
+                # prefix (sorts compact them there; deaths never move a
+                # ray), so any covering bucket is a correct slice.
+                b = 1
+                while b < max_bounces and b < seg_bounds[0]:
+                    state = run_bounce(state, b, n_tiles)
+                    b += 1
+                buckets = sorted({max(1, n_tiles // d) for d in _SEG_DIVS},
+                                 reverse=True)
+                for si, s in enumerate(seg_bounds):
+                    b1 = (seg_bounds[si + 1] if si + 1 < len(seg_bounds)
+                          else max_bounces)
+                    if si == 0:
+                        # first compaction must see every ray
+                        state = _sort_state(state, cell_bits, sort_mode)
+                    n_live = jnp.sum((state[12] > 0.0).astype(jnp.int32))
+                    idx = jnp.int32(0)
+                    for i in range(1, len(buckets)):
+                        idx = jnp.where(n_live <= buckets[i] * span,
+                                        jnp.int32(i), idx)
+                    sort_after = si + 1 < len(seg_bounds)
+
+                    def make_seg(nt, b0=s, b1=b1, sort_after=sort_after):
+                        w_sub = nt * span
+
+                        def seg(st):
+                            sub = (st[:, :w_sub]
+                                   if w_sub < st.shape[1] else st)
+                            for bb in range(b0, b1):
+                                sub = run_bounce(sub, bb, nt)
+                            if sort_after:
+                                sub = _sort_state(sub, cell_bits,
+                                                  sort_mode)
+                            if w_sub < st.shape[1]:
+                                sub = jnp.concatenate(
+                                    [sub, st[:, w_sub:]], axis=1)
+                            return sub
+
+                        return seg
+
+                    state = jax.lax.switch(
+                        idx, [make_seg(nt) for nt in buckets], state)
+                b = max_bounces
+            else:
+                b = 1
+                while b < max_bounces:
+                    if b in sort_schedule:
+                        state = _sort_state(state, cell_bits, sort_mode)
+                        if b == shrink_at:
+                            break
+                    state = run_bounce(state, b, n_tiles)
+                    b += 1
 
             if b < max_bounces:
                 # bucketed tail on the sorted live prefix
@@ -572,6 +659,7 @@ def render_forward_wavefront(
     extract_window: Optional[int] = None,
     dbg: tuple = (),
     include_boxes: bool = False,
+    pipeline: str = "tail",
     **_unused,
 ) -> jax.Array:
     """Render a full frame with the bounce-major wavefront pipeline.
@@ -659,7 +747,7 @@ def render_forward_wavefront(
                     else _auto_cull_group(s_pad, block)),
         sort_schedule=tuple(sort_schedule), sort_mode=sort_mode,
         cell_bits=cell_bits, wf_rows=wf_rows, dbg=tuple(dbg),
-        shrink_at=shrink_at,
+        shrink_at=shrink_at, pipeline=pipeline,
         extract_window=(256 if extract_window is None and s_pad > 512
                         else (extract_window or 0)),
     )

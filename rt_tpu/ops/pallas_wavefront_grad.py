@@ -110,6 +110,7 @@ from .pallas_blockwise import (
     _morton_perm,
     _padded_table,
     _seed_table,
+    _window_start,
 )
 from .pallas_blockwise_grad import _assemble_grads, _tables_jnp
 from .pallas_grad import _bounce_smooth, _decisions
@@ -189,14 +190,8 @@ def _fetch_payload(sph_ref, pln_ref, row_i, hit, ispl, *, s_pad, p_pad, win,
         return _dot(sph_ref[...], s_oh, (((0,), (0,)), ((), ())))
 
     if win and s_pad > win:
-        wrow = jnp.where(sph_win, rowf, f32(3e38))
-        start_f = jnp.min(wrow)
-        start_i = jnp.where(start_f < f32(3e38), start_f,
-                            f32(0.0)).astype(jnp.int32)
-        start_i = jnp.minimum((start_i // 8) * 8, jnp.int32(s_pad - win))
-        rel = row_i - start_i
-        in_win = (rel >= 0) & (rel < win)
-        all_in = jnp.sum((sph_win & ~in_win).astype(f32)) == 0.0
+        start_i, rel, all_in = _window_start(sph_win, rowf, row_i,
+                                             s_pad, win)
 
         def win_fetch(_):
             blk = sph_ref[pl.ds(start_i, win), :]
@@ -283,14 +278,8 @@ def _accum_tables(sg_ref, pg_ref, pay_cot, row_i, ispl, live_h, *, s_pad,
             return _dot(oh, stack, (((1,), (1,)), ((), ())))  # (pad, 9)
 
         if win and pad > win and ref is sg_ref:
-            wrow = jnp.where(mask, rowf, f32(3e38))
-            start_f = jnp.min(wrow)
-            start_i = jnp.where(start_f < f32(3e38), start_f,
-                                f32(0.0)).astype(jnp.int32)
-            start_i = jnp.minimum((start_i // 8) * 8, jnp.int32(pad - win))
-            rel = row_i - start_i
-            in_win = (rel >= 0) & (rel < win)
-            all_in = jnp.sum((mask & ~in_win).astype(f32)) == 0.0
+            start_i, rel, all_in = _window_start(mask, rowf, row_i,
+                                                 pad, win)
 
             def win_add(_):
                 w_iota = jax.lax.broadcasted_iota(jnp.int32,
@@ -995,8 +984,13 @@ def _wf_grad_static(scene, size, spp, spp_chunk):
     # tables alive in HBM; 2^23 rays/chunk ~ 4.3 GB of records at depth 8
     while n_pix * spp_chunk > (1 << 23) and spp_chunk > 1:
         spp_chunk -= 1
-    if n_pix * spp_chunk >= (1 << 31):
-        spp_chunk = max(1, ((1 << 31) - 1) // n_pix)
+    if n_pix * spp_chunk > _ID_MASK:
+        spp_chunk = max(1, _ID_MASK // n_pix)
+    if n_pix > _ID_MASK:
+        # mirror the forward (pallas_wavefront.py): ray ids ride a
+        # bit-30-tagged int32 pattern, so ids past 2^30 would corrupt
+        # the tag and silently mis-route cotangents
+        raise ValueError("frame too large for exact tagged int32 ray ids")
     s_pad = _bucket(scene.spheres.count)
     p_pad = _bucket(scene.planes.count)
     return spp_chunk, s_pad, p_pad

@@ -107,10 +107,14 @@ def auto_route(scene, platform: str, include_boxes: bool = False) -> tuple:
         if blockwise_supported(scene, include_boxes):
             # the bounce-major wavefront overtakes the pixel-major scan
             # once the per-ray primitive scan dominates its sort/state
-            # overheads (measured crossover ~2048 padded primitives)
+            # overheads (measured crossover ~2048 padded primitives);
+            # box scenes stay blockwise — the wavefront kernel has no
+            # slab scan (wavefront_supported rejects them)
             from .ops.pallas_blockwise import _bucket
+            from .ops.pallas_wavefront import wavefront_supported
 
-            if _bucket(scene.spheres.count) >= 2048:
+            if (_bucket(scene.spheres.count) >= 2048
+                    and wavefront_supported(scene, include_boxes)):
                 return "wavefront", None
             return "blockwise", None
         n = scene.spheres.count + scene.planes.count

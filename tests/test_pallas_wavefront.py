@@ -88,6 +88,19 @@ def test_sort_modes_agree():
     np.testing.assert_array_equal(a, b)
 
 
+def test_segmented_pipeline_bit_parity():
+    # the segmented live-prefix pipeline (sequential lax.switch segments,
+    # prefix-sized sorts, per-segment bucket re-choice) must be BIT-equal
+    # to the tail pipeline: segments only change where the sorts run and
+    # which (frozen, dead) suffix tiles are skipped, never a live ray's
+    # math — 600 spheres so the cull + Morton + windowed extract are on
+    sc = make_procedural_scene(600, spp=2, max_bounces=8)
+    kw = dict(spp=2, max_bounces=8, seed=3)
+    a = _wf(sc, (96, 64), pipeline="tail", **kw)
+    b = _wf(sc, (96, 64), pipeline="seg", **kw)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_sort_schedule_invariance():
     # the estimator must not depend on WHEN (or whether) rays are sorted
     sc = make_procedural_scene(200, spp=2, max_bounces=6)

@@ -106,7 +106,8 @@ def test_checkpoint_npz_fallback_keeps_opt_state(tmp_path, scene, monkeypatch):
 
 def test_kernel_train_step_router():
     # small scenes -> the blockwise fused step; many-primitive scenes ->
-    # the wavefront record/reverse step (crossover at 2048 padded prims)
+    # the wavefront record/reverse step (train crossover at 1024 padded
+    # prims — below the forward-only 2048, train.py docstring)
     import optax
 
     import rt_tpu
