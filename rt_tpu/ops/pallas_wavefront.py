@@ -42,6 +42,15 @@ tile-order dependent), hence this kernel is hash-RNG only.
 
 Tie-breaking, scan order, sky, scatter semantics: reference
 mg_ray_tracer.cpp:36-174 via _bounce_once; see pallas_blockwise.py.
+The ``--boxes`` extension rides the same bounce body (round 5): the
+slab-test table is a third replicated VMEM input to every bounce
+kernel, ray state is unchanged, so the compaction sorts and shrink are
+oblivious to it — forward parity vs the blockwise slab path is tested
+through sorts and sharding, and measured bit-exact on device with the
+wavefront 1.097x FASTER than blockwise on the 2100-sphere + 3-box
+auto-route shape (job 82, interleaved windows); gradients for box
+scenes keep the blockwise records route (wf_grad_supported rejects
+boxes).
 
 Measured (v5e-1, 5000-sphere config-5 slice 960x540@2spp d8; worker jobs
 CF/CG0/CG2/CG3/CG5, all same-session ratios vs the pixel-major blockwise
@@ -79,7 +88,13 @@ kernel at ~306-316 ms):
     16 x 177 ms x 0.89), i.e. with tagged int32 ids + 14-row state the
     sorts are NOT a 4K-specific overhead any more.  Default stays
     "tail"; "seg" is kept parity-tested
-    (test_segmented_pipeline_bit_parity).
+    (test_segmented_pipeline_bit_parity).  Denser sort schedules stay a
+    loss even at prefix size (job 78, same interleaved session, bit-
+    equal): seg(1,2,3,5) = 0.93x and seg(1..6) = 0.74x the tail(1,2,5)
+    baseline — extra compactions between the 2- and 5-sorts cost more
+    (sort + the re-choice switch overhead) than the in-place liveness
+    decay they remove, killing the last open hypothesis for a denser
+    schedule.
 
     Negative results kept deliberately: sorting EVERY bounce loses
     (~9 ms/sort at 1M rays vs little extra skipping: 260 ms); per-block
@@ -165,15 +180,13 @@ _ID_MASK = _ID_TAG - 1
 
 
 def wavefront_supported(scene, include_boxes: bool = False) -> bool:
-    """Same scene envelope as the blockwise kernel (the bounce body is
-    shared), EXCEPT the ``--boxes`` extension: the wavefront bounce
-    kernel carries no slab-scan table, so a box scene must keep the
-    pixel-major blockwise path (which grew kind=3 support in round 5) —
-    accepting it here would silently drop the boxes from the frame.
-    Additionally a chunk's ray count must keep ray ids exact in the
-    tagged int32 encoding (checked at call time against 2^30)."""
-    if include_boxes and scene.boxes.count > 0:
-        return False
+    """Same scene envelope as the blockwise kernel: the bounce body is
+    shared, and since round 5 that includes the ``--boxes`` slab-scan
+    table (the box table rides the bounce kernels as a third replicated
+    VMEM input; ray state is unchanged, so the compaction sorts are
+    oblivious to it).  Additionally a chunk's ray count must keep ray
+    ids exact in the tagged int32 encoding (checked at call time
+    against 2^30)."""
     return blockwise_supported(scene, include_boxes)
 
 
@@ -199,7 +212,7 @@ def _hash_u01_dyn(pix, seed, ctr, shape):
 
 def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                     center_sample, gen, block, cull, cull_group, wf_rows,
-                    dbg=(), extract_window=0, record=False):
+                    dbg=(), extract_window=0, record=False, b_pad=0):
     """Wavefront kernel body.
 
     ``gen=True``: raygen + bounce 0.  No state input; pixel/sample ids
@@ -227,6 +240,10 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
     draws_per_sample = 2 + 4 * max_bounces
 
     def kernel(meta_ref, cam_ref, sph_ref, pln_ref, *rest):
+        if b_pad:
+            box_ref, rest = rest[0], rest[1:]
+        else:
+            box_ref = None
         if cull:
             aux_ref, seed_ref = rest[0], rest[1]
             rest = rest[2:]
@@ -327,14 +344,16 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                 live = state_ref[12:13, sl]
 
             out = _bounce_once(
-                (sph_ref, pln_ref, aux_ref, seed_ref),
-                (n_sph, n_pln),
+                (sph_ref, pln_ref, aux_ref, seed_ref)
+                + ((box_ref,) if b_pad else ()),
+                (n_sph, n_pln, meta_ref[6] if b_pad else 0),
                 (ox, oy, oz, dx, dy, dz, tr, tg, tb, live),
                 u01,
                 s_pad=s_pad, p_pad=p_pad, block=block, scan="lean",
                 mxu=False, cull=cull, cull_group=cull_group,
                 rng_mode=rng_mode, skip_cond=not gen, dbg=dbg,
-                extract_window=extract_window, want_record=record)
+                extract_window=extract_window, want_record=record,
+                b_pad=b_pad)
             contrib, (ox, oy, oz), (dx, dy, dz), (tr, tg, tb), live = out[:5]
             acc = [acc[c] + contrib[c] for c in range(3)]
 
@@ -370,13 +389,13 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
 def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
                       center_sample, gen, block, cull, cull_group, n_tiles,
                       interpret, wf_rows, dbg=(), extract_window=0,
-                      record=False):
+                      record=False, b_pad=0):
     kernel = _make_wf_kernel(
         width=width, height=height, s_pad=s_pad, p_pad=p_pad,
         max_bounces=max_bounces, rng_mode=rng_mode,
         center_sample=center_sample, gen=gen, block=block, cull=cull,
         cull_group=cull_group, wf_rows=wf_rows, dbg=dbg,
-        extract_window=extract_window, record=record,
+        extract_window=extract_window, record=record, b_pad=b_pad,
     )
     span = wf_rows * _LANES
     n_rows = 16 if record else 14
@@ -386,6 +405,9 @@ def _compiled_wf_call(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
         pl.BlockSpec((p_pad, _COLS), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if b_pad:
+        in_specs.append(pl.BlockSpec((b_pad, _COLS), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
     if cull:
         nb_pad = -(-(s_pad // block) // 8) * 8
         in_specs.append(pl.BlockSpec((nb_pad, 128), lambda i, *_: (0, 0),
@@ -453,7 +475,7 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                        max_bounces, rng_mode, gamma, center_first, interpret,
                        block, cull, cull_gen, cull_group, sort_schedule,
                        sort_mode, cell_bits, wf_rows, shrink_at, dbg=(),
-                       extract_window=0, pipeline="tail"):
+                       extract_window=0, pipeline="tail", b_pad=0):
     """Jitted frame: per chunk, gen kernel (raygen + bounce 0), then one
     bounce kernel per remaining bounce with sort/compaction between the
     bounces named in ``sort_schedule``; per-ray radiance is re-ordered
@@ -485,7 +507,7 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                       max_bounces=max_bounces, rng_mode=rng_mode,
                       block=block, cull=cull, cull_group=cull_group,
                       interpret=interpret, wf_rows=wf_rows, dbg=dbg,
-                      extract_window=extract_window)
+                      extract_window=extract_window, b_pad=b_pad)
         gen = _compiled_wf_call(center_sample=center, gen=True,
                                 n_tiles=n_tiles,
                                 **{**common, "cull": cull_gen})
@@ -504,7 +526,7 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
     span = wf_rows * _LANES
 
     @jax.jit
-    def run(metas, cam, s_tab, p_tab):
+    def run(metas, cam, s_tab, p_tab, *btab):
         aux = ((_block_bounds(s_tab, block),
                 _seed_table(s_tab, block)) if cull else ())
         total = None
@@ -512,11 +534,12 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                 zip(chunk_sizes, calls)):
             meta_g = metas[ci].at[4].set(n_rays)
             aux_g = aux if cull_gen else ()
-            state = gen(meta_g, cam, s_tab, p_tab, *aux_g)
+            state = gen(meta_g, cam, s_tab, p_tab, *btab, *aux_g)
 
             def run_bounce(st, b, nt):
                 meta_b = metas[ci].at[3].set(b)
-                return stepc[nt](meta_b, cam, s_tab, p_tab, *aux, st)
+                return stepc[nt](meta_b, cam, s_tab, p_tab, *btab,
+                                 *aux, st)
 
             seg_bounds = (sorted({b for b in sort_schedule
                                   if 1 <= b < max_bounces})
@@ -736,6 +759,17 @@ def render_forward_wavefront(
     s_tab = jnp.asarray(_padded_table(s_cols, s_pad, gidx))
     p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
 
+    b_pad = 0
+    btab = ()
+    boxes_on = include_boxes and scene.boxes.count > 0
+    if boxes_on:
+        from .pallas_render import _flatten_boxes
+        from .pallas_blockwise import _padded_box_table
+
+        b_cols = _flatten_boxes(scene, personality)
+        b_pad = _bucket(scene.boxes.count)
+        btab = (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+
     run, n_chunks = _compiled_frame_wf(
         width=w, height=h, s_pad=s_pad, p_pad=p_pad, spp=spp,
         spp_chunk=spp_chunk, max_bounces=max_bounces, rng_mode=rng_mode,
@@ -747,7 +781,7 @@ def render_forward_wavefront(
                     else _auto_cull_group(s_pad, block)),
         sort_schedule=tuple(sort_schedule), sort_mode=sort_mode,
         cell_bits=cell_bits, wf_rows=wf_rows, dbg=tuple(dbg),
-        shrink_at=shrink_at, pipeline=pipeline,
+        shrink_at=shrink_at, pipeline=pipeline, b_pad=b_pad,
         extract_window=(256 if extract_window is None and s_pad > 512
                         else (extract_window or 0)),
     )
@@ -759,20 +793,22 @@ def render_forward_wavefront(
             np.tan(scene.camera.vfov * 0.5), w / h, scene.camera.near, 0.0
         ], jnp.float32),
     ])
-    metas = _wf_meta_rows(scene, seed, n_chunks)
-    return run(metas, cam, s_tab, p_tab)
+    metas = _wf_meta_rows(scene, seed, n_chunks,
+                          n_box=scene.boxes.count if boxes_on else 0)
+    return run(metas, cam, s_tab, p_tab, *btab)
 
 
-def _wf_meta_rows(scene, seed: int, n_chunks: int) -> jnp.ndarray:
+def _wf_meta_rows(scene, seed: int, n_chunks: int,
+                  n_box: int = 0) -> jnp.ndarray:
     """(n_chunks, 8) int32 rows: [seed, n_spheres, n_planes, bounce_b,
-    n_rays, 0, 0, 0]; the per-chunk seed chain matches
+    n_rays, ray_offset, n_boxes, 0]; the per-chunk seed chain matches
     pallas_blockwise._meta_rows so equal-chunking runs draw identical
     hash streams."""
     metas = []
     chunk_seed = seed
     for _ in range(n_chunks):
         metas.append([chunk_seed, scene.spheres.count, scene.planes.count,
-                      0, 0, 0, 0, 0])
+                      0, 0, 0, n_box, 0])
         chunk_seed = int((chunk_seed * 1103515245 + 12345) % (2**31 - 1))
     return jnp.asarray(metas, jnp.int32)
 
@@ -802,6 +838,7 @@ def render_forward_wavefront_sharded(
     wf_rows: int = 4,
     cull_group: Optional[int] = None,
     shrink_at: Optional[int] = -1,
+    include_boxes: bool = False,
     **_unused,
 ) -> jax.Array:
     """Wavefront frame sharded over ``mesh[axis]`` (H, W, 3) f32.
@@ -819,7 +856,7 @@ def render_forward_wavefront_sharded(
     from ..dist import _SMAP_NOCHECK, shard_map
     from jax.sharding import PartitionSpec as P
 
-    if not wavefront_supported(scene):
+    if not wavefront_supported(scene, include_boxes):
         raise ValueError("scene exceeds the wavefront kernel limits")
     w, h = size
     n_pix = w * h
@@ -863,6 +900,17 @@ def render_forward_wavefront_sharded(
     s_tab = jnp.asarray(_padded_table(s_cols, s_pad, gidx))
     p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
 
+    b_pad = 0
+    btab = ()
+    boxes_on = include_boxes and scene.boxes.count > 0
+    if boxes_on:
+        from .pallas_render import _flatten_boxes
+        from .pallas_blockwise import _padded_box_table
+
+        b_cols = _flatten_boxes(scene, personality)
+        b_pad = _bucket(scene.boxes.count)
+        btab = (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+
     n_dev = mesh.shape[axis]
     span = wf_rows * _LANES
     chunk_sizes = []
@@ -880,7 +928,8 @@ def render_forward_wavefront_sharded(
                       max_bounces=max_bounces, rng_mode=rng_mode,
                       block=block, cull_group=cull_group,
                       interpret=interpret, wf_rows=wf_rows, dbg=(),
-                      extract_window=(256 if s_pad > 512 else 0))
+                      extract_window=(256 if s_pad > 512 else 0),
+                      b_pad=b_pad)
         gen = _compiled_wf_call(center_sample=center, gen=True,
                                 n_tiles=local_tiles, cull=cull_gen_b,
                                 **common)
@@ -896,18 +945,19 @@ def render_forward_wavefront_sharded(
              for ci, k in enumerate(chunk_sizes)]
 
     def shard_chunk(ci, k, gen, stepc, n_rays, local_tiles, metas, cam_,
-                    s_tab_, p_tab_):
+                    s_tab_, p_tab_, *btab_):
         aux = ((_block_bounds(s_tab_, block),
                 _seed_table(s_tab_, block)) if cull else ())
         off = (jax.lax.axis_index(axis).astype(jnp.int32)
                * jnp.int32(local_tiles * span))
         meta_g = metas[ci].at[4].set(n_rays).at[5].set(off)
         aux_g = aux if cull_gen_b else ()
-        state = gen(meta_g, cam_, s_tab_, p_tab_, *aux_g)
+        state = gen(meta_g, cam_, s_tab_, p_tab_, *btab_, *aux_g)
 
         def run_bounce(st, b, nt):
             meta_b = metas[ci].at[3].set(b)
-            return stepc[nt](meta_b, cam_, s_tab_, p_tab_, *aux, st)
+            return stepc[nt](meta_b, cam_, s_tab_, p_tab_, *btab_,
+                             *aux, st)
 
         b = 1
         while b < max_bounces:
@@ -954,7 +1004,7 @@ def render_forward_wavefront_sharded(
         return jnp.stack(out[1:], axis=-1)  # (local_rays, 3)
 
     @jax.jit
-    def run(metas, cam_, s_tab_, p_tab_):
+    def run(metas, cam_, s_tab_, p_tab_, *btab_):
         total = None
         for ci, (k, (gen, stepc, n_rays, local_tiles)) in enumerate(
                 zip(chunk_sizes, calls)):
@@ -962,11 +1012,12 @@ def render_forward_wavefront_sharded(
                 functools.partial(shard_chunk, ci, k, gen, stepc, n_rays,
                                   local_tiles),
                 mesh=mesh,
-                in_specs=(P(), P(), P(), P()),
+                in_specs=(P(),) * (4 + len(btab_)),
                 out_specs=P(axis),
                 **_SMAP_NOCHECK,
             )
-            flat = sharded(metas, cam_, s_tab_, p_tab_)  # (n_dev*local, 3)
+            flat = sharded(metas, cam_, s_tab_, p_tab_,
+                           *btab_)  # (n_dev*local, 3)
             chans = []
             for c in range(3):
                 v = flat[:, c]
@@ -988,5 +1039,6 @@ def render_forward_wavefront_sharded(
             np.tan(scene.camera.vfov * 0.5), w / h, scene.camera.near, 0.0
         ], jnp.float32),
     ])
-    metas = _wf_meta_rows(scene, seed, len(chunk_sizes))
-    return run(metas, cam, s_tab, p_tab)
+    metas = _wf_meta_rows(scene, seed, len(chunk_sizes),
+                          n_box=scene.boxes.count if boxes_on else 0)
+    return run(metas, cam, s_tab, p_tab, *btab)

@@ -108,8 +108,8 @@ def auto_route(scene, platform: str, include_boxes: bool = False) -> tuple:
             # the bounce-major wavefront overtakes the pixel-major scan
             # once the per-ray primitive scan dominates its sort/state
             # overheads (measured crossover ~2048 padded primitives);
-            # box scenes stay blockwise — the wavefront kernel has no
-            # slab scan (wavefront_supported rejects them)
+            # wavefront_supported gates anything its kernels cannot
+            # render (it covers --boxes since round 5)
             from .ops.pallas_blockwise import _bucket
             from .ops.pallas_wavefront import wavefront_supported
 

@@ -70,19 +70,17 @@ def test_auto_route_warns_on_unsupported_scene():
     route, warning = auto_route(huge, "tpu")
     assert route == "jnp" and warning is not None
 
-    # many-primitive scenes ride the wavefront — EXCEPT with --boxes:
-    # the wavefront kernel has no slab scan, so accepting a box scene
-    # would silently drop the boxes from the frame (round-5 review fix)
+    # many-primitive scenes ride the wavefront, with or without --boxes
+    # (the wavefront bounce kernels carry the slab-scan table since
+    # round 5 — a box scene must never be silently rendered box-less)
     from rt_tpu.ops.pallas_wavefront import wavefront_supported
 
     many = rt_tpu.scene.make_procedural_scene(2100)
     assert auto_route(many, "tpu") == ("wavefront", None)
     many_boxy = dataclasses.replace(many, boxes=boxy.boxes)
-    assert wavefront_supported(many_boxy, include_boxes=True) is False
+    assert wavefront_supported(many_boxy, include_boxes=True) is True
     assert auto_route(many_boxy, "tpu", include_boxes=True) == \
-        ("blockwise", None)
-    # boxes present but not enabled: reference box-stub semantics ignore
-    # them, so the wavefront stays eligible
+        ("wavefront", None)
     assert auto_route(many_boxy, "tpu") == ("wavefront", None)
 
 

@@ -88,6 +88,31 @@ def test_sort_modes_agree():
     np.testing.assert_array_equal(a, b)
 
 
+def test_parity_boxes_extension():
+    # --boxes at wavefront scale: the slab-test table rides the bounce
+    # kernels as a third replicated VMEM input (round 5); frames must
+    # match the blockwise --boxes path (itself pinned to the jnp slab
+    # renderer in test_pallas_blockwise) through the compaction sorts —
+    # and the boxes must actually BE in the frame (a silently box-less
+    # render was the round-5 review bug)
+    import dataclasses
+
+    boxy = rt_tpu.loads(
+        "materials = [ { type = 'lambert', albedo = 'red' },\n"
+        "              { type = 'metal', albedo = 'white' } ]\n"
+        "boxes = [ { material = 0, center = [0.0, 0.5, -3.0] },\n"
+        "          { material = 1, center = [1.5, 0.5, -4.0] } ]\n")
+    sc = make_procedural_scene(200, spp=2, max_bounces=6)
+    sc = dataclasses.replace(sc, boxes=boxy.boxes)
+    kw = dict(spp=2, max_bounces=6, seed=3, include_boxes=True)
+    a = _bw(sc, (64, 48), **kw)
+    b = _wf(sc, (64, 48), **kw)
+    np.testing.assert_allclose(a, b, atol=ATOL)
+    # the boxes change the frame vs the box-stub render
+    c = _wf(sc, (64, 48), spp=2, max_bounces=6, seed=3)
+    assert np.abs(b - c).max() > 0.01
+
+
 def test_segmented_pipeline_bit_parity():
     # the segmented live-prefix pipeline (sequential lax.switch segments,
     # prefix-sized sorts, per-segment bucket re-choice) must be BIT-equal
@@ -178,3 +203,18 @@ def test_sharded_bit_identical_to_unsharded():
         img = np.asarray(render_forward_wavefront_sharded(
             sc, (64, 48), mesh, **kw))
         np.testing.assert_array_equal(ref, img)
+
+    # --boxes rides the sharded path too (replicated slab table)
+    import dataclasses
+
+    boxy = rt_tpu.loads(
+        "materials = [ { type = 'lambert', albedo = 'red' } ]\n"
+        "boxes = [ { material = 0, center = [0.0, 0.5, -3.0] } ]\n")
+    scb = dataclasses.replace(sc, boxes=boxy.boxes)
+    kwb = dict(kw, include_boxes=True)
+    refb = _wf(scb, (64, 48), **kwb)
+    mesh = dist.make_mesh(4, 1, devices=jax.devices()[:4])
+    imgb = np.asarray(render_forward_wavefront_sharded(
+        scb, (64, 48), mesh, **kwb))
+    np.testing.assert_array_equal(refb, imgb)
+    assert np.abs(refb - ref).max() > 0.01  # boxes are in the frame
