@@ -152,10 +152,9 @@ def pallas_loss_and_grad(
     if not pallas_supported(concrete, include_boxes):
         # past the unrolled cap: the BLOCKWISE record pass (runtime
         # tables — no recompiles on parameter changes, round 5)
-        from .ops.pallas_blockwise import (_bucket, _padded_box_table,
+        from .ops.pallas_blockwise import (_box_inputs, _bucket,
                                            _padded_table,
                                            blockwise_supported)
-        from .ops.pallas_render import _flatten_boxes
 
         if not blockwise_supported(concrete, include_boxes):
             raise ValueError("scene exceeds every record-kernel limit")
@@ -164,12 +163,7 @@ def pallas_loss_and_grad(
         p_pad = _bucket(concrete.planes.count)
         s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
         p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
-        btab = ()
-        b_pad = 0
-        if use_boxes:
-            b_cols = _flatten_boxes(concrete, personality)
-            b_pad = _bucket(concrete.boxes.count)
-            btab = (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+        b_pad, btab = _box_inputs(concrete, personality, use_boxes)
         run = _records_pipeline_bw(
             width=w, height=h, spp=spp, max_bounces=max_bounces,
             personality=personality, rng_mode=rng_mode, rng_impl=rng_impl,

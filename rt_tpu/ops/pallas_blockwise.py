@@ -142,6 +142,20 @@ def _padded_box_table(b_cols: np.ndarray, bucket: int) -> np.ndarray:
     return out
 
 
+def _box_inputs(scene, personality: str, include_boxes: bool):
+    """Shared --boxes table construction: ``(b_pad, btab)`` where btab is
+    a 0/1-tuple carrying the padded (b_pad, 16) slab-test table.  One
+    place for the flatten/bucket/pad recipe so the unrolled, blockwise,
+    wavefront and records pipelines can never desync on it."""
+    if not (include_boxes and scene.boxes.count > 0):
+        return 0, ()
+    from .pallas_render import _flatten_boxes
+
+    b_cols = _flatten_boxes(scene, personality)
+    b_pad = _bucket(scene.boxes.count)
+    return b_pad, (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+
+
 def _morton_perm(cols: np.ndarray) -> np.ndarray:
     """Spatial (Morton/Z-order) permutation of sphere columns.  Sorting
     makes each scan block spatially COMPACT, which is what gives the
@@ -1374,14 +1388,7 @@ def render_forward_blockwise(
         s_tab = jnp.asarray(_padded_table(s_cols, s_pad, gidx))
         p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
 
-    b_pad = 0
-    btab = ()
-    if boxes_on:
-        from .pallas_render import _flatten_boxes
-
-        b_cols = _flatten_boxes(scene, personality)
-        b_pad = _bucket(scene.boxes.count)
-        btab = (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+    b_pad, btab = _box_inputs(scene, personality, boxes_on)
 
     run, n_chunks = _compiled_frame_bw(
         width=w, height=h, s_pad=s_pad, p_pad=p_pad, spp=spp,
@@ -1727,14 +1734,7 @@ def render_record_blockwise(
     block = _BLOCK if max(s_pad, p_pad) <= 128 else 128
     s_tab = jnp.asarray(_padded_table(s_cols, s_pad))
     p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
-    btab = ()
-    b_pad = 0
-    if boxes_on:
-        from .pallas_render import _flatten_boxes
-
-        b_cols = _flatten_boxes(scene, personality)
-        b_pad = _bucket(scene.boxes.count)
-        btab = (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+    b_pad, btab = _box_inputs(scene, personality, boxes_on)
     call = _compiled_bw_record(
         width=w, height=h, s_pad=s_pad, p_pad=p_pad,
         max_bounces=max_bounces, rng_mode=rng_mode, rng_impl=rng_impl,

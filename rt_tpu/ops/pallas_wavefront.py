@@ -162,6 +162,7 @@ from .pallas_blockwise import (
     _auto_cull_group,
     _block_bounds,
     _bounce_once,
+    _box_inputs,
     _bucket,
     _morton_perm,
     _padded_table,
@@ -231,8 +232,9 @@ def _make_wf_kernel(*, width, height, s_pad, p_pad, max_bounces, rng_mode,
     dead suffix still skips in 128-ray quanta.
 
     meta (SMEM int32): [seed, n_spheres, n_planes, bounce_b, n_rays,
-    ray_offset].  cam (SMEM f32): as pallas_blockwise (only used when
-    ``gen``).
+    ray_offset, n_boxes, 0] (n_boxes read only when ``b_pad > 0`` —
+    the --boxes slab table rides as a third replicated VMEM input).
+    cam (SMEM f32): as pallas_blockwise (only used when ``gen``).
     """
     f32 = jnp.float32
     shape = (1, _LANES)
@@ -759,16 +761,8 @@ def render_forward_wavefront(
     s_tab = jnp.asarray(_padded_table(s_cols, s_pad, gidx))
     p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
 
-    b_pad = 0
-    btab = ()
     boxes_on = include_boxes and scene.boxes.count > 0
-    if boxes_on:
-        from .pallas_render import _flatten_boxes
-        from .pallas_blockwise import _padded_box_table
-
-        b_cols = _flatten_boxes(scene, personality)
-        b_pad = _bucket(scene.boxes.count)
-        btab = (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+    b_pad, btab = _box_inputs(scene, personality, boxes_on)
 
     run, n_chunks = _compiled_frame_wf(
         width=w, height=h, s_pad=s_pad, p_pad=p_pad, spp=spp,
@@ -900,16 +894,8 @@ def render_forward_wavefront_sharded(
     s_tab = jnp.asarray(_padded_table(s_cols, s_pad, gidx))
     p_tab = jnp.asarray(_padded_table(p_cols, p_pad))
 
-    b_pad = 0
-    btab = ()
     boxes_on = include_boxes and scene.boxes.count > 0
-    if boxes_on:
-        from .pallas_render import _flatten_boxes
-        from .pallas_blockwise import _padded_box_table
-
-        b_cols = _flatten_boxes(scene, personality)
-        b_pad = _bucket(scene.boxes.count)
-        btab = (jnp.asarray(_padded_box_table(b_cols, b_pad)),)
+    b_pad, btab = _box_inputs(scene, personality, boxes_on)
 
     n_dev = mesh.shape[axis]
     span = wf_rows * _LANES

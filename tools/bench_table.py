@@ -433,6 +433,14 @@ def main():
         "- Rows 4/5 count potential ray-bounces (W*H*spp*depth); the",
         "  reference's linear-scan semantics make work proportional to",
         "  ray-bounces x primitives.",
+        "- Roofline (docs/ROOFLINE.md, tools/roofline.py run on device): the",
+        "  deep-bounce blockwise scan is issue-bound at ~1 vector op per",
+        "  lane-cycle (0.09-0.14 T prim-tests/s ~= 2.6-4.1 TFLOP/s at ~30",
+        "  counted ops/test); the wavefront's live-weighted depth on config-5",
+        "  is 1.67/8 bounces, i.e. it wins by issuing ~5x fewer tests.  The",
+        "  absolute-TFLOP FMA microbench is INVALID through the remote tunnel",
+        "  (K-scaling check fails; recorded negative, probe kept for locally",
+        "  attached chips).",
     ]
     with open(os.path.join(REPO, "BENCH_TABLE.md"), "w") as f:
         f.write("\n".join(md) + "\n")
