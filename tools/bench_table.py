@@ -405,8 +405,9 @@ def main():
                  "8-spp chunks vs the old 2-spp cap = 0.96x — chunk size "
                  "is NOT the lever (sorts scale with rays); the delta is "
                  "the 14-row state + session state.  Preview at "
-                 "docs/config5_4k_preview.png — rerun with tools/tpu_worker "
-                 "job 53_4k_chunks to reproduce"))
+                 "docs/config5_4k_preview.png — reproduce with "
+                 "tools/render_4k.py (as a tpu_worker job through the "
+                 "remote tunnel)"))
 
     md = ["# BENCH_TABLE — measured on the attached TPU chip", "",
           "| Config | Result |", "|---|---|"]
