@@ -179,6 +179,11 @@ __all__ = ["render_forward_wavefront",
 _ID_TAG = 1 << 30
 _ID_MASK = _ID_TAG - 1
 
+# rays per chunk the 16 GB v5e HBM can hold with the ~3-4 live copies of
+# the (14, N) f32 state XLA schedules (bounce in+out, sort/concat temps);
+# measured: 66M rays -> 17.7 GB OOM, so cap at 2^25 ~ 1.9 GB/copy
+_HBM_RAY_CAP = 1 << 25
+
 
 def wavefront_supported(scene, include_boxes: bool = False) -> bool:
     """Same scene envelope as the blockwise kernel: the bounce body is
@@ -523,23 +528,26 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
         }
         return gen, stepc, n_rays, n_tiles
 
-    calls = [calls_for(k, (ci == 0 and center_first))
-             for ci, k in enumerate(chunk_sizes)]
     span = wf_rows * _LANES
 
-    @jax.jit
-    def run(metas, cam, s_tab, p_tab, *btab):
-        aux = ((_block_bounds(s_tab, block),
-                _seed_table(s_tab, block)) if cull else ())
-        total = None
-        for ci, (k, (gen, stepc, n_rays, n_tiles)) in enumerate(
-                zip(chunk_sizes, calls)):
-            meta_g = metas[ci].at[4].set(n_rays)
+    def make_chunk_fn(k, gen, stepc, n_rays, n_tiles):
+        # ONE chunk per jit program: a 256-spp 4K frame is 64 chunks, and
+        # unrolling them into one program lets XLA keep several (14, N)
+        # chunk states live at once — measured 17-22 GB HBM OOM (jobs
+        # 89/90).  A host loop over per-chunk programs bounds HBM to one
+        # chunk's pipeline (and compiles one small program, reused across
+        # chunks, instead of a giant one); single-chunk frames — every
+        # benchmark slice — compile to the identical program as before.
+        @jax.jit
+        def chunk_fn(meta, cam, s_tab, p_tab, *btab):
+            aux = ((_block_bounds(s_tab, block),
+                    _seed_table(s_tab, block)) if cull else ())
+            meta_g = meta.at[4].set(n_rays)
             aux_g = aux if cull_gen else ()
             state = gen(meta_g, cam, s_tab, p_tab, *btab, *aux_g)
 
             def run_bounce(st, b, nt):
-                meta_b = metas[ci].at[3].set(b)
+                meta_b = meta.at[3].set(b)
                 return stepc[nt](meta_b, cam, s_tab, p_tab, *btab,
                                  *aux, st)
 
@@ -648,7 +656,27 @@ def _compiled_frame_wf(*, width, height, s_pad, p_pad, spp, spp_chunk,
                     acc = acc + v[s * n_pix:(s + 1) * n_pix]
                 chans.append(acc)
             chunk_img = jnp.stack(chans, axis=-1)  # (n_pix, 3)
+            return chunk_img
+
+        return chunk_fn
+
+    fn_cache = {}
+    chunk_fns = []
+    for ci, k in enumerate(chunk_sizes):
+        key = (k, ci == 0 and center_first)
+        if key not in fn_cache:
+            fn_cache[key] = make_chunk_fn(k, *calls_for(*key))
+        chunk_fns.append(fn_cache[key])
+
+    def run(metas, cam, s_tab, p_tab, *btab):
+        total = None
+        for ci, fn in enumerate(chunk_fns):
+            chunk_img = fn(metas[ci], cam, s_tab, p_tab, *btab)
             total = chunk_img if total is None else total + chunk_img
+            if (ci + 1) % 8 == 0:
+                # throttle async dispatch: cap the outstanding per-chunk
+                # output buffers (95 MB each at 4K)
+                jax.block_until_ready(total)
         img = total * jnp.float32(1.0 / spp)
         if gamma:
             img = jnp.sqrt(jnp.maximum(img, 0.0))
@@ -712,6 +740,14 @@ def render_forward_wavefront(
         # ray ids ride a tagged int32 bit-pattern in a state row (bits
         # 0-29); keep them exact
         spp_chunk = max(1, _ID_MASK // (w * h))
+    if w * h * spp_chunk > _HBM_RAY_CAP:
+        # XLA keeps ~3-4 live copies of the (14, N) chunk state (each
+        # bounce kernel's in+out plus the sort/concat temps): a 66M-ray
+        # chunk (4K @ 8 spp) measured 17.7 GB > the 15.75 GB v5e HBM
+        # (job 89 OOM).  2^25 rays/chunk ~ 1.9 GB/copy stays safe, and
+        # chunk-size scaling is a measured wash (job 53: 0.96x), so
+        # capping costs nothing.
+        spp_chunk = max(1, _HBM_RAY_CAP // (w * h))
     if w * h > _ID_MASK:
         raise ValueError("frame too large for exact tagged int32 ray ids")
 
@@ -861,6 +897,10 @@ def render_forward_wavefront_sharded(
     spp_chunk = max(1, min(spp_chunk, spp))
     if n_pix * spp_chunk > _ID_MASK:
         spp_chunk = max(1, _ID_MASK // n_pix)
+    if n_pix * spp_chunk > _HBM_RAY_CAP:
+        # per-chip HBM chunk cap, see render_forward_wavefront (the cap
+        # is per device: each shard holds only its slice of the state)
+        spp_chunk = max(1, _HBM_RAY_CAP // n_pix)
     if n_pix > _ID_MASK:
         raise ValueError("frame too large for exact tagged int32 ray ids")
 
@@ -927,21 +967,18 @@ def render_forward_wavefront_sharded(
         }
         return gen, stepc, n_rays, local_tiles
 
-    calls = [calls_for(k, (ci == 0 and center_first))
-             for ci, k in enumerate(chunk_sizes)]
-
-    def shard_chunk(ci, k, gen, stepc, n_rays, local_tiles, metas, cam_,
+    def shard_chunk(k, gen, stepc, n_rays, local_tiles, meta, cam_,
                     s_tab_, p_tab_, *btab_):
         aux = ((_block_bounds(s_tab_, block),
                 _seed_table(s_tab_, block)) if cull else ())
         off = (jax.lax.axis_index(axis).astype(jnp.int32)
                * jnp.int32(local_tiles * span))
-        meta_g = metas[ci].at[4].set(n_rays).at[5].set(off)
+        meta_g = meta.at[4].set(n_rays).at[5].set(off)
         aux_g = aux if cull_gen_b else ()
         state = gen(meta_g, cam_, s_tab_, p_tab_, *btab_, *aux_g)
 
         def run_bounce(st, b, nt):
-            meta_b = metas[ci].at[3].set(b)
+            meta_b = meta.at[3].set(b)
             return stepc[nt](meta_b, cam_, s_tab_, p_tab_, *btab_,
                              *aux, st)
 
@@ -989,20 +1026,20 @@ def render_forward_wavefront_sharded(
                            num_keys=1, is_stable=True)
         return jnp.stack(out[1:], axis=-1)  # (local_rays, 3)
 
-    @jax.jit
-    def run(metas, cam_, s_tab_, p_tab_, *btab_):
-        total = None
-        for ci, (k, (gen, stepc, n_rays, local_tiles)) in enumerate(
-                zip(chunk_sizes, calls)):
+    def make_chunk_fn(k, gen, stepc, n_rays, local_tiles):
+        # one chunk per jit program — same HBM rationale as the
+        # unsharded driver (the cap is per device here)
+        @jax.jit
+        def chunk_fn(meta, cam_, s_tab_, p_tab_, *btab_):
             sharded = shard_map(
-                functools.partial(shard_chunk, ci, k, gen, stepc, n_rays,
+                functools.partial(shard_chunk, k, gen, stepc, n_rays,
                                   local_tiles),
                 mesh=mesh,
                 in_specs=(P(),) * (4 + len(btab_)),
                 out_specs=P(axis),
                 **_SMAP_NOCHECK,
             )
-            flat = sharded(metas, cam_, s_tab_, p_tab_,
+            flat = sharded(meta, cam_, s_tab_, p_tab_,
                            *btab_)  # (n_dev*local, 3)
             chans = []
             for c in range(3):
@@ -1011,8 +1048,25 @@ def render_forward_wavefront_sharded(
                 for sm in range(1, k):
                     acc = acc + v[sm * n_pix:(sm + 1) * n_pix]
                 chans.append(acc)
-            chunk_img = jnp.stack(chans, axis=-1)
+            return jnp.stack(chans, axis=-1)
+
+        return chunk_fn
+
+    fn_cache = {}
+    chunk_fns = []
+    for ci, k in enumerate(chunk_sizes):
+        key = (k, ci == 0 and center_first)
+        if key not in fn_cache:
+            fn_cache[key] = make_chunk_fn(k, *calls_for(*key))
+        chunk_fns.append(fn_cache[key])
+
+    def run(metas, cam_, s_tab_, p_tab_, *btab_):
+        total = None
+        for ci, fn in enumerate(chunk_fns):
+            chunk_img = fn(metas[ci], cam_, s_tab_, p_tab_, *btab_)
             total = chunk_img if total is None else total + chunk_img
+            if (ci + 1) % 8 == 0:
+                jax.block_until_ready(total)
         img = total * jnp.float32(1.0 / spp)
         if gamma:
             img = jnp.sqrt(jnp.maximum(img, 0.0))
